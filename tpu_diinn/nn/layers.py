@@ -1,0 +1,160 @@
+"""Shared NN building blocks (NHWC, flax.linen).
+
+TPU-native equivalents of the reference's conv blocks
+(``src/models/components/common.py:7-87``): same-padded conv, MeanShift,
+ResBlock, PixelShuffle upsampler. PixelShuffle is a reshape/transpose
+(depth-to-space) — no kernel needed on TPU.
+
+Initializers reproduce torch ``nn.Conv2d``/``nn.Linear`` defaults
+(kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+weight and bias) so that training trajectories are distributionally comparable
+with the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jnp.ndarray
+
+# DIV2K RGB mean used by EDSR's MeanShift (reference common.py:15).
+DIV2K_RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d/Linear default weight init in HWIO/(in,out) layout.
+
+    kaiming_uniform(a=sqrt(5)) reduces to U(-b, b) with b = 1/sqrt(fan_in),
+    fan_in = prod(kernel spatial) * in_channels.
+    """
+    if len(shape) == 4:  # HWIO conv kernel
+        fan_in = shape[0] * shape[1] * shape[2]
+    else:  # (in, out) dense kernel
+        fan_in = shape[0]
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init_for(fan_in: int) -> Callable:
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """Same-padded 2-D conv (NHWC) with torch-default init."""
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        fan_in = self.kernel_size * self.kernel_size * in_ch
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init_for(fan_in),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Dense(nn.Module):
+    """Per-pixel linear layer (== the reference's 1x1 convs) with torch init."""
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init_for(fan_in),
+            dtype=self.dtype,
+            name="dense",
+        )(x)
+
+
+def pixel_shuffle(x: Array, factor: int) -> Array:
+    """Depth-to-space: (B, H, W, C*r^2) -> (B, H*r, W*r, C).
+
+    Channel convention matches torch ``nn.PixelShuffle`` applied to an NCHW
+    tensor whose channels are ordered (C, r, r): out[c, h*r+i, w*r+j] =
+    in[c*r*r + i*r + j, h, w].
+    """
+    b, h, w, c = x.shape
+    r = factor
+    c_out = c // (r * r)
+    x = x.reshape(b, h, w, c_out, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c_out)
+
+
+class MeanShift(nn.Module):
+    """Frozen RGB mean shift (reference common.py:12-22). sign=-1 subtracts."""
+    rgb_range: float = 1.0
+    sign: int = -1
+    rgb_mean: Sequence[float] = DIV2K_RGB_MEAN
+    rgb_std: Sequence[float] = (1.0, 1.0, 1.0)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mean = jnp.asarray(self.rgb_mean, dtype=x.dtype)
+        std = jnp.asarray(self.rgb_std, dtype=x.dtype)
+        return x / std + self.sign * self.rgb_range * mean / std
+
+
+class ResBlock(nn.Module):
+    """conv-relu-conv residual block (reference common.py:37-58)."""
+    n_feats: int
+    kernel_size: int = 3
+    res_scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = Conv(self.n_feats, self.kernel_size, dtype=self.dtype,
+                 name="conv0")(x)
+        y = nn.relu(y)
+        y = Conv(self.n_feats, self.kernel_size, dtype=self.dtype,
+                 name="conv1")(y)
+        return x + y * self.res_scale
+
+
+class Upsampler(nn.Module):
+    """PixelShuffle x2^n / x3 upsampling tail (reference common.py:60-87)."""
+    scale: int
+    n_feats: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        s = self.scale
+        if (s & (s - 1)) == 0:  # power of two
+            n = int(np.log2(s))
+            for i in range(n):
+                x = Conv(4 * self.n_feats, 3, dtype=self.dtype,
+                         name=f"conv{i}")(x)
+                x = pixel_shuffle(x, 2)
+        elif s == 3:
+            x = Conv(9 * self.n_feats, 3, dtype=self.dtype, name="conv0")(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise NotImplementedError(f"Upsampler scale {s}")
+        return x

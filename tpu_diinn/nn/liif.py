@@ -1,0 +1,140 @@
+"""LIIF: Local Implicit Image Function baseline (NHWC, flax).
+
+TPU-native redesign of the reference LIIF (``src/models/components/liif.py:
+9-155``): 4-corner local ensemble over nearest feature lookups, 3x3 feature
+unfolding, cell decoding, and an MLP image function, with the diagonal
+area-swap blend (``liif.py:120-127``).
+
+TPU-first choices:
+- All corner lookups are ``grid_sample(mode='nearest', align_corners=False)``
+  over coordinates that are pure functions of the two image sizes, so the
+  index maps are computed in numpy at trace time and become static gathers —
+  no grid_sample kernel needed, and the per-axis separability collapses the
+  2-D lookup into two 1-D index arrays.
+- The imnet's first layer contracting the 576 unfolded-feature channels is
+  algebraically a 3x3 conv on the LR feature grid; it runs once at LR
+  resolution and is gathered per corner (same factorization as the DIINN
+  decoder — see nn/diinn.py). Only the 256-wide layers run per HR query.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tpu_diinn.core import grids
+from tpu_diinn.nn.layers import Conv, Dense
+
+Array = jnp.ndarray
+
+_EPS_SHIFT = 1e-6
+_CLAMP = 1.0 - 1e-6
+
+
+def _corner_axis_indices(n_in: int, n_out: int, v: int,
+                         local: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-lookup indices and rel-coords for one axis and corner offset v.
+
+    Follows reference liif.py:85-104: shift the query coordinate by
+    v * (1/n_in) + eps, clamp to +-(1 - 1e-6), nearest-lookup, and return
+    (indices, rel_coord * n_in).
+    """
+    coords = -1.0 + 1.0 / n_out + (2.0 / n_out) * np.arange(n_out)
+    r = 1.0 / n_in
+    shifted = coords + (v * r + (_EPS_SHIFT if local else 0.0))
+    shifted = np.clip(shifted, -_CLAMP, _CLAMP)
+    idx = grids.nearest_grid_sample_indices(n_in, shifted)
+    in_coords = -1.0 + 1.0 / n_in + (2.0 / n_in) * np.arange(n_in)
+    rel = (coords - in_coords[idx]) * n_in
+    return idx, rel.astype(np.float32)
+
+
+class LIIF(nn.Module):
+    local_ensemble: bool = True
+    feat_unfold: bool = True
+    cell_decode: bool = True
+    encoder_spec: str = "rdn"
+    hidden: Sequence[int] = (256, 256, 256, 256)
+    dtype: Any = None
+
+    def setup(self):
+        from tpu_diinn.nn.registry import make_encoder
+        self.encoder = make_encoder(self.encoder_spec, dtype=self.dtype,
+                                    name="encoder")
+        # imnet layer 0, factorized: unfolded-feature part as a 3x3 (or 1x1)
+        # conv at LR; rel-coord and cell parts as tiny per-query denses.
+        k = 3 if self.feat_unfold else 1
+        self.imnet_feat = Conv(self.hidden[0], k, use_bias=False,
+                               dtype=self.dtype, name="imnet_feat")
+        self.imnet_rel = Dense(self.hidden[0], dtype=self.dtype,
+                               name="imnet_rel")
+        if self.cell_decode:
+            self.imnet_cell = Dense(self.hidden[0], use_bias=False,
+                                    dtype=self.dtype, name="imnet_cell")
+        self.imnet_tail = [Dense(h, dtype=self.dtype, name=f"imnet_fc{i + 1}")
+                           for i, h in enumerate(self.hidden[1:])]
+        self.imnet_out = Dense(3, dtype=self.dtype,
+                               name=f"imnet_fc{len(self.hidden)}")
+
+    def decode(self, feat: Array, size: Tuple[int, int],
+               bsize: Optional[int] = None) -> Array:
+        """Implicit decode of an LR feature grid to ``size``
+        (reference ``query_rgb``, liif.py:59-127)."""
+        b, h_in, w_in, _ = feat.shape
+        h_out, w_out = size
+        z = self.imnet_feat(feat)
+
+        if self.local_ensemble:
+            corners = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        else:
+            corners = [(0, 0)]
+        cell = np.asarray([2.0 * h_in / h_out, 2.0 * w_in / w_out],
+                          dtype=np.float32)  # rel_cell (liif.py:107-110)
+
+        def decode_cols(col_lo: int, col_hi: int) -> Array:
+            w_c = col_hi - col_lo
+            preds, areas = [], []
+            for (vy, vx) in corners:
+                iy, ry = _corner_axis_indices(h_in, h_out, vy,
+                                              self.local_ensemble)
+                ix, rx = _corner_axis_indices(w_in, w_out, vx,
+                                              self.local_ensemble)
+                ix, rx = ix[col_lo:col_hi], rx[col_lo:col_hi]
+                q = z[:, jnp.asarray(iy)][:, :, jnp.asarray(ix)]
+                rel = jnp.broadcast_to(
+                    jnp.stack(
+                        [jnp.broadcast_to(jnp.asarray(ry)[:, None],
+                                          (h_out, w_c)),
+                         jnp.broadcast_to(jnp.asarray(rx)[None, :],
+                                          (h_out, w_c))], axis=-1)[None],
+                    (b, h_out, w_c, 2)).astype(q.dtype)
+                y = q + self.imnet_rel(rel)
+                if self.cell_decode:
+                    y = y + self.imnet_cell(jnp.broadcast_to(
+                        jnp.asarray(cell), (b, h_out, w_c, 2)).astype(q.dtype))
+                y = nn.relu(y)
+                for d in self.imnet_tail:
+                    y = nn.relu(d(y))
+                preds.append(self.imnet_out(y))
+                area = jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9
+                areas.append(area)
+            if self.local_ensemble:
+                # diagonal area swap (liif.py:120-127)
+                areas = [areas[3], areas[2], areas[1], areas[0]]
+            tot = sum(areas)
+            return sum(p * (a / tot)[..., None]
+                       for p, a in zip(preds, areas))
+
+        if bsize is None:
+            return decode_cols(0, w_out)
+        chunk = max(1, bsize // h_out)
+        outs = [decode_cols(lo, min(lo + chunk, w_out))
+                for lo in range(0, w_out, chunk)]
+        return jnp.concatenate(outs, axis=2)
+
+    def __call__(self, x: Array, size: Tuple[int, int],
+                 bsize: Optional[int] = None) -> Array:
+        return self.decode(self.encoder(x), size, bsize)

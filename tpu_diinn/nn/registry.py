@@ -1,0 +1,63 @@
+"""Model/encoder registry — the ``make_net`` equivalent
+(reference ``sr_module.py:42-50``).
+
+All models share the contract ``net.apply(params, x_lr, size, bsize) -> sr``
+with NHWC tensors; ``bsize`` bounds eval-time decode memory via serial column
+chunking (reference ``diinn.py:149-160``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+
+from tpu_diinn.nn.rdn import RDN
+from tpu_diinn.nn.edsr import EDSRBaseline
+
+
+ENCODERS = {
+    # spec: (class, kwargs)
+    "rdn": (RDN, dict(growth0=64, config="B")),
+    "rdn-tiny": (RDN, dict(growth0=16, config="tiny")),
+    "edsr-baseline": (EDSRBaseline, dict(n_resblocks=16, n_feats=64)),
+    "edsr-baseline-tiny": (EDSRBaseline, dict(n_resblocks=2, n_feats=16)),
+}
+
+
+def make_encoder(spec: str, *, dtype=None, name: Optional[str] = None
+                 ) -> nn.Module:
+    cls, kwargs = ENCODERS[spec]
+    return cls(dtype=dtype, name=name, **kwargs)
+
+
+def encoder_out_dim(spec: str) -> int:
+    cls, kwargs = ENCODERS[spec]
+    if cls is RDN:
+        return kwargs["growth0"]
+    if cls is EDSRBaseline:
+        return kwargs["n_feats"]
+    raise ValueError(spec)
+
+
+def make_net(arch: str, *, mode: int = 3, init_q: bool = False,
+             encoder_spec: str = "rdn", dtype: Any = None,
+             hidden_dims=None) -> nn.Module:
+    from tpu_diinn.nn.diinn import DIINN
+    from tpu_diinn.nn.liif import LIIF
+    from tpu_diinn.nn.metasr import MetaSR
+    from tpu_diinn.nn.bicubic import BicubicNet
+    if arch == "diinn":
+        kw = dict(mode=mode, init_q=init_q, encoder_spec=encoder_spec,
+                  dtype=dtype)
+        if hidden_dims is not None:
+            kw["hidden_dims"] = tuple(hidden_dims)
+        return DIINN(**kw)
+    if arch == "liif":
+        return LIIF(encoder_spec=encoder_spec, dtype=dtype)
+    if arch == "metasr":
+        return MetaSR(encoder_spec=encoder_spec,
+                      feat_dim=encoder_out_dim(encoder_spec), dtype=dtype)
+    if arch == "bicubic":
+        return BicubicNet(dtype=dtype)
+    raise ValueError(f"unknown arch: {arch!r}")
