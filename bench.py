@@ -1,0 +1,78 @@
+"""Benchmark: decoded pixels/s/chip, fwd+bwd, flagship DIINN at x4.
+
+Measures the north-star metric from BASELINE.json — full training-step
+throughput (forward + backward + Adam update) of the flagship model
+(RDN-B encoder + mode-3 dual-interactive implicit decoder) on 48x48 LR
+patches decoded at x4 (192x192 out), bf16 compute / fp32 params.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to the first recorded TPU measurement
+(BENCH_BASELINE below); the reference repo publishes no numbers
+(SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+# First recorded single-chip measurement of this framework (round 1, TPU
+# v5e-1, XLA path, bf16 compute): 4.92M decoded pixels/s fwd+bwd at x4.
+# Later rounds report speedups relative to this anchor.
+BENCH_BASELINE_PIX_S = 4.92e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_diinn.config.config import load_config
+    from tpu_diinn.train import loop
+    from tpu_diinn.train.optim import make_optimizer
+
+    batch = 8
+    patch = 48
+    scale = 4
+    cfg = load_config(None, [
+        "model.arch=diinn", "model.dtype=bfloat16",
+        f"data.batch_size={batch}", f"data.patch_size={patch}",
+        f"data.train_scales=[{scale}]",
+    ])
+    task = loop.build_task(cfg)
+    tx = make_optimizer(1e-4, 1000)
+    state = loop.init_state(cfg, tx, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b = {scale: (
+        jnp.asarray(rng.random((batch, patch, patch, 3)).astype(np.float32)),
+        jnp.asarray(rng.random((batch, patch * scale, patch * scale, 3)
+                               ).astype(np.float32)))}
+    step = loop.make_train_step(task, tx, mesh=None)
+
+    # warmup / compile. NOTE: on the tunneled TPU platform used here,
+    # block_until_ready does not guarantee remote completion — a host fetch
+    # of a scalar (float(...)) is the only reliable sync, costing ~30 ms.
+    state, m = step(state, b)
+    float(m["loss"])
+    state, m = step(state, b)
+    float(m["loss"])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, b)
+    float(m["loss"])  # forced device round-trip = real completion barrier
+    dt = time.perf_counter() - t0
+
+    pixels = batch * (patch * scale) ** 2 * iters
+    pix_s = pixels / dt
+    vs = (pix_s / BENCH_BASELINE_PIX_S) if BENCH_BASELINE_PIX_S else 1.0
+    print(json.dumps({
+        "metric": "decoded_pixels_per_s_per_chip_fwd_bwd_x4",
+        "value": round(pix_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

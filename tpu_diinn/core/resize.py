@@ -122,6 +122,20 @@ def resize(x: Array, size: tuple[int, int], *, kernel: str = "torch",
     return y.astype(out_dtype)
 
 
+def resize_np(x: np.ndarray, size: tuple[int, int], *, kernel: str = "torch",
+              antialias: bool = True) -> np.ndarray:
+    """Host-side (numpy) variant of :func:`resize` for data pipelines.
+
+    Same weight matrices, float32 accumulation, (..., H, W, C) layout.
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = int(size[0]), int(size[1])
+    wh = resize_matrix(h_in, h_out, kernel, antialias).astype(np.float32)
+    ww = resize_matrix(w_in, w_out, kernel, antialias).astype(np.float32)
+    y = np.einsum("oh,...hwc->...owc", wh, x.astype(np.float32))
+    return np.einsum("ow,...hwc->...hoc", ww, y)
+
+
 def resize_by_scale_size(size: tuple[int, int], scale: float) -> tuple[int, int]:
     """Output size convention of the reference data pipeline:
     ``round(H / scale)`` per axis (``srdata.py:225-227``,
