@@ -1,0 +1,103 @@
+"""Numerics tests: fused Pallas decoder vs the XLA reference path.
+
+Runs in interpreter mode on CPU (conftest forces the cpu platform); the same
+kernel compiles for TPU unchanged. Compares forward and the custom-VJP
+backward (dz + all weight grads) against jax.grad through the flax
+ImplicitDecoder hr_step path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpu_diinn.kernels.decoder_fused import decode_fused, pack_params
+from tpu_diinn.nn.diinn import ImplicitDecoder
+from tpu_diinn.core import grids
+
+
+def setup(b=2, h_in=6, w_in=8, h_out=16, w_out=24, hidden=32, n_layers=3,
+          seed=0):
+    dec = ImplicitDecoder(in_channels=8, hidden_dims=(hidden,) * n_layers,
+                          mode=3, init_q=False)
+    key = jax.random.PRNGKey(seed)
+    feat = jax.random.normal(key, (b, h_in, w_in, 8))
+    params = dec.init(key, feat, (h_out, w_out))
+    zs = dec.apply(params, feat, method=ImplicitDecoder.lr_features)
+    z = jnp.concatenate(zs, axis=-1)
+    syn = grids.syn_input_grid((h_in, w_in), (h_out, w_out))
+    kp = pack_params(params["params"], n_layers=n_layers, dtype=jnp.float32)
+    return dec, params, feat, zs, z, syn, kp
+
+
+def xla_out(dec, params, zs, syn, b, h_out, w_out):
+    zs_hr = tuple(grids.upsample_nearest_exact_mm(zz, (h_out, w_out))
+                  for zz in zs)
+    syn_b = jnp.broadcast_to(syn[None], (b, h_out, w_out, 3))
+    return dec.apply(params, zs_hr, syn_b, method=ImplicitDecoder.hr_step)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 6, 8, 16, 24),      # non-divisible tile path (16 rows, tile 16)
+    (1, 5, 7, 22, 26),      # non-integer scale
+])
+def test_fused_forward_matches_xla(shape):
+    b, h_in, w_in, h_out, w_out = shape
+    dec, params, feat, zs, z, syn, kp = setup(b, h_in, w_in, h_out, w_out)
+    got = decode_fused(z, syn, (h_out, w_out), kp, interpret=True)
+    want = xla_out(dec, params, zs, syn, b, h_out, w_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_backward_matches_xla():
+    b, h_in, w_in, h_out, w_out = 2, 6, 8, 16, 24
+    dec, params, feat, zs, z, syn, kp = setup(b, h_in, w_in, h_out, w_out)
+    g = jax.random.normal(jax.random.PRNGKey(9), (b, h_out, w_out, 3))
+
+    def loss_fused(z_, kp_):
+        out = decode_fused(z_, syn, (h_out, w_out), kp_, interpret=True)
+        return jnp.sum(out * g)
+
+    def loss_xla(z_, params_):
+        splits = np.cumsum([zz.shape[-1] for zz in zs])[:-1]
+        zs_ = jnp.split(z_, splits, axis=-1)
+        zs_hr = tuple(grids.upsample_nearest_exact_mm(zz, (h_out, w_out))
+                      for zz in zs_)
+        syn_b = jnp.broadcast_to(syn[None], (b, h_out, w_out, 3))
+        out = dec.apply(params_, zs_hr, syn_b,
+                        method=ImplicitDecoder.hr_step)
+        return jnp.sum(out * g)
+
+    (dz_f, dkp_f) = jax.grad(loss_fused, argnums=(0, 1))(z, kp)
+    (dz_x, dpar_x) = jax.grad(loss_xla, argnums=(0, 1))(z, params)
+
+    np.testing.assert_allclose(np.asarray(dz_f), np.asarray(dz_x),
+                               rtol=2e-4, atol=2e-4)
+    p = dpar_x["params"]
+    n_layers = 3
+    np.testing.assert_allclose(np.asarray(dkp_f["w0"]),
+                               np.asarray(p["q0"]["dense"]["kernel"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dkp_f["b0"]),
+                               np.asarray(p["q0"]["dense"]["bias"]),
+                               rtol=2e-4, atol=2e-4)
+    for i in range(1, n_layers):
+        np.testing.assert_allclose(
+            np.asarray(dkp_f["wkq"][i - 1]),
+            np.asarray(p[f"kq{i}"]["dense"]["kernel"]), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(dkp_f["bkq"][i - 1]),
+            np.asarray(p[f"kq{i}"]["dense"]["bias"]), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(dkp_f["wq"][i - 1]),
+            np.asarray(p[f"q{i}"]["dense"]["kernel"]), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(dkp_f["bq"][i - 1]),
+            np.asarray(p[f"q{i}"]["dense"]["bias"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dkp_f["wl"]),
+                               np.asarray(p["last_dense"]["dense"]["kernel"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dkp_f["bl"]),
+                               np.asarray(p["last_dense"]["dense"]["bias"]),
+                               rtol=2e-4, atol=2e-4)

@@ -74,6 +74,40 @@ def upsample_nearest_exact(x: Array, size: tuple[int, int]) -> Array:
     return x[:, rows][:, :, cols]
 
 
+def nearest_exact_onehot(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) 0/1 matrix S with S[i, nearest_exact(i)] = 1.
+
+    Multiplying by S performs the nearest-exact gather; multiplying by S^T
+    performs its adjoint (the segment-sum). Expressing the upsample this way
+    keeps BOTH directions on the MXU — the autodiff VJP is the transposed
+    matmul instead of a scatter-add, which XLA lowers poorly on TPU.
+    """
+    idx = nearest_exact_indices(n_in, n_out)
+    s = np.zeros((n_out, n_in), dtype=np.float32)
+    s[np.arange(n_out), idx] = 1.0
+    return s
+
+
+def upsample_nearest_exact_mm(x: Array, size: tuple[int, int],
+                              dtype=None) -> Array:
+    """Nearest-exact NHWC resize as two one-hot matmuls (MXU-friendly).
+
+    Numerically identical to :func:`upsample_nearest_exact` (the one-hot
+    rows select single elements), but with a matmul VJP. Preferred inside
+    training graphs; the gather variant is fine for inference.
+    """
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    ct = dtype or x.dtype
+    sh = jnp.asarray(nearest_exact_onehot(h_in, h_out), dtype=ct)
+    sw = jnp.asarray(nearest_exact_onehot(w_in, w_out), dtype=ct)
+    y = jnp.einsum("oh,bhwc->bowc", sh, x.astype(ct),
+                   preferred_element_type=ct)
+    return jnp.einsum("pw,bowc->bopc", sw, y, preferred_element_type=ct)
+
+
 def rel_coord_grid(in_size: tuple[int, int], out_size: tuple[int, int],
                    *, dtype=jnp.float32) -> Array:
     """(H_out, W_out, 2) relative-coordinate encoding of the DIINN decoder.

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from tpu_diinn.core import grids
+from tpu_diinn.core.fastmath import fast_sin
 from tpu_diinn.nn.layers import Conv, Dense
 from tpu_diinn.nn.rdn import RDN, make_rdn
 
@@ -72,7 +73,15 @@ class ImplicitDecoder(nn.Module):
     mode: int = 3
     init_q: bool = False
     out_channels: int = 3
+    # exact_sin=True uses the stock sine (bit-parity with the reference);
+    # the default polynomial sine (core/fastmath.py, |err| <= 1.4e-6) is ~2x
+    # faster on the TPU VPU, where sine dominates the decoder's runtime.
+    exact_sin: bool = False
     dtype: Any = None
+
+    @property
+    def _sin(self):
+        return jnp.sin if self.exact_sin else fast_sin
 
     def setup(self):
         h = list(self.hidden_dims)
@@ -130,7 +139,7 @@ class ImplicitDecoder(nn.Module):
         assert not self.init_q, "init_q path uses hr_step_init_q"
         z0 = zs_hr[0]
         k = nn.relu(z0)
-        q = k * jnp.sin(self.q_layers[0](syn))
+        q = k * self._sin(self.q_layers[0](syn))
         for i, kq in enumerate(self.kq_layers):
             zi = zs_hr[i + 1]
             if self.mode == 1:
@@ -139,7 +148,7 @@ class ImplicitDecoder(nn.Module):
                 k = nn.relu(kq(k) + zi)
             else:  # modes 3, 4
                 k = nn.relu(kq(q) + zi)
-            q = k * jnp.sin(self.q_layers[i + 1](q))
+            q = k * self._sin(self.q_layers[i + 1](q))
         if self.mode == 4:
             qp = jnp.pad(q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
             return _valid_conv(self.last_conv, qp)
@@ -147,10 +156,10 @@ class ImplicitDecoder(nn.Module):
 
     def hr_step_init_q(self, u_hr: Array, syn: Array) -> Array:
         """init_q variant over gathered unfolded features (B?, ..., C*9)."""
-        s = jnp.sin(self.first_layer(syn))
+        s = self._sin(self.first_layer(syn))
         x = s * u_hr
         k = nn.relu(self.k0_dense(x))
-        q = k * jnp.sin(self.q_layers[0](s))
+        q = k * self._sin(self.q_layers[0](s))
         for i, (kq, kx) in enumerate(zip(self.kq_layers, self.kx_layers)):
             if self.mode == 1:
                 k = nn.relu(kq(k))
@@ -158,7 +167,7 @@ class ImplicitDecoder(nn.Module):
                 k = nn.relu(kq(k) + kx(x))
             else:
                 k = nn.relu(kq(q) + kx(x))
-            q = k * jnp.sin(self.q_layers[i + 1](q))
+            q = k * self._sin(self.q_layers[i + 1](q))
         if self.mode == 4:
             qp = jnp.pad(q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
             return _valid_conv(self.last_conv, qp)
@@ -169,10 +178,31 @@ class ImplicitDecoder(nn.Module):
         b, h_in, w_in, _ = feat.shape
         h_out, w_out = size
         zs = self.lr_features(feat)
-        rows = jnp.asarray(grids.nearest_exact_indices(h_in, h_out))
-        cols_all = grids.nearest_exact_indices(w_in, w_out)
         syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
                                         dtype=feat.dtype)
+
+        if bsize is None:
+            # Training path: nearest-exact upsample as one-hot matmuls for
+            # all layers at once (single big MXU contraction; matmul VJP —
+            # no scatter-add in the backward).
+            present = [z for z in zs if z is not None]
+            splits = np.cumsum([z.shape[-1] for z in present])[:-1]
+            zcat = present[0] if len(present) == 1 else jnp.concatenate(
+                present, axis=-1)
+            zh = grids.upsample_nearest_exact_mm(zcat, (h_out, w_out))
+            parts = jnp.split(zh, splits, axis=-1) if len(present) > 1 \
+                else [zh]
+            it = iter(parts)
+            gath = tuple(None if z is None else next(it) for z in zs)
+            syn = jnp.broadcast_to(syn_full[None], (b, h_out, w_out, 3))
+            if self.init_q:
+                return self.hr_step_init_q(gath[0], syn)
+            return self.hr_step(gath, syn)
+
+        # Memory-bounded eval: serial column chunks of bsize//H_out pixels
+        # (reference batched_step, diinn.py:149-160); plain gathers, no grad.
+        rows = jnp.asarray(grids.nearest_exact_indices(h_in, h_out))
+        cols_all = grids.nearest_exact_indices(w_in, w_out)
 
         def decode_cols(col_lo: int, col_hi: int) -> Array:
             cols = jnp.asarray(cols_all[col_lo:col_hi])
@@ -186,10 +216,6 @@ class ImplicitDecoder(nn.Module):
                 return self.hr_step_init_q(gath[0], syn)
             return self.hr_step(gath, syn)
 
-        if bsize is None:
-            return decode_cols(0, w_out)
-        # Memory-bounded eval: serial column chunks of bsize//H_out pixels
-        # (reference batched_step, diinn.py:149-160).
         chunk = max(1, bsize // h_out)
         outs = [decode_cols(lo, min(lo + chunk, w_out))
                 for lo in range(0, w_out, chunk)]
@@ -211,6 +237,7 @@ class DIINN(nn.Module):
     init_q: bool = False
     encoder_spec: str = "rdn"
     hidden_dims: Sequence[int] = (256, 256, 256, 256)
+    exact_sin: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -221,6 +248,6 @@ class DIINN(nn.Module):
                             name="encoder")(x)
         dec = ImplicitDecoder(in_channels=feat.shape[-1],
                               hidden_dims=self.hidden_dims, mode=self.mode,
-                              init_q=self.init_q, dtype=self.dtype,
-                              name="decoder")
+                              init_q=self.init_q, exact_sin=self.exact_sin,
+                              dtype=self.dtype, name="decoder")
         return dec(feat, size, bsize)
