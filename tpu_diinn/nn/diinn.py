@@ -201,25 +201,71 @@ class ImplicitDecoder(nn.Module):
 
         # Memory-bounded eval: serial column chunks of bsize//H_out pixels
         # (reference batched_step, diinn.py:149-160); plain gathers, no grad.
-        rows = jnp.asarray(grids.nearest_exact_indices(h_in, h_out))
-        cols_all = grids.nearest_exact_indices(w_in, w_out)
-
-        def decode_cols(col_lo: int, col_hi: int) -> Array:
-            cols = jnp.asarray(cols_all[col_lo:col_hi])
-            syn = jnp.broadcast_to(
-                syn_full[None, :, col_lo:col_hi, :],
-                (b, h_out, col_hi - col_lo, 3))
-            gath = tuple(
-                None if z is None else z[:, rows][:, :, cols]
-                for z in zs)
-            if self.init_q:
-                return self.hr_step_init_q(gath[0], syn)
-            return self.hr_step(gath, syn)
-
         chunk = max(1, bsize // h_out)
-        outs = [decode_cols(lo, min(lo + chunk, w_out))
+        outs = [self.decode_window(feat, size, 0, h_out, lo,
+                                   min(lo + chunk, w_out), _zs=zs)
                 for lo in range(0, w_out, chunk)]
         return jnp.concatenate(outs, axis=2)
+
+    def decode_stripe(self, feat: Array, size: Tuple[int, int],
+                      col_start: Array, stripe_w: int) -> Array:
+        """Decode a ``stripe_w``-wide column stripe starting at the *traced*
+        index ``col_start`` (clamped; columns past W_out repeat the last
+        column). The SPMD unit for query-grid sharding via shard_map, where
+        each device's offset is ``axis_index * stripe_w`` — a traced value,
+        unlike :meth:`decode_window`'s static bounds."""
+        b, h_in, w_in, _ = feat.shape
+        h_out, w_out = size
+        zs = self.lr_features(feat)
+        syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
+                                        dtype=feat.dtype)
+        pad = stripe_w  # enough for any clamped overhang
+        cols_all = grids.nearest_exact_indices(w_in, w_out)
+        cols_pad = jnp.asarray(
+            np.concatenate([cols_all, np.full(pad, cols_all[-1],
+                                              np.int32)]))
+        syn_pad = jnp.concatenate(
+            [syn_full, jnp.broadcast_to(syn_full[:, -1:, :],
+                                        (h_out, pad, 3))], axis=1)
+        rows = jnp.asarray(grids.nearest_exact_indices(h_in, h_out))
+        cols = jax.lax.dynamic_slice(cols_pad, (col_start,), (stripe_w,))
+        syn = jax.lax.dynamic_slice(
+            syn_pad, (0, col_start, 0), (h_out, stripe_w, 3))
+        syn = jnp.broadcast_to(syn[None], (b, h_out, stripe_w, 3))
+        gath = tuple(None if z is None else
+                     jnp.take(z[:, rows], cols, axis=2) for z in zs)
+        if self.init_q:
+            return self.hr_step_init_q(gath[0], syn)
+        return self.hr_step(gath, syn)
+
+    def decode_window(self, feat: Array, size: Tuple[int, int],
+                      row_lo: int, row_hi: int, col_lo: int, col_hi: int,
+                      _zs=None) -> Array:
+        """Decode an arbitrary rectangular window of the HR grid.
+
+        The unit of tiled / out-of-core / streaming evaluation: the LR
+        features stay whole, only the window's queries are materialized.
+        Like the reference's ``batched_step``, mode 4's 3x3 output conv is
+        applied window-locally (reflect padding at window borders —
+        diinn.py:149-160 has the same chunk-border behavior).
+        """
+        b, h_in, w_in, _ = feat.shape
+        h_out, w_out = size
+        zs = _zs if _zs is not None else self.lr_features(feat)
+        syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
+                                        dtype=feat.dtype)
+        rows = jnp.asarray(
+            grids.nearest_exact_indices(h_in, h_out)[row_lo:row_hi])
+        cols = jnp.asarray(
+            grids.nearest_exact_indices(w_in, w_out)[col_lo:col_hi])
+        syn = jnp.broadcast_to(
+            syn_full[None, row_lo:row_hi, col_lo:col_hi, :],
+            (b, row_hi - row_lo, col_hi - col_lo, 3))
+        gath = tuple(None if z is None else z[:, rows][:, :, cols]
+                     for z in zs)
+        if self.init_q:
+            return self.hr_step_init_q(gath[0], syn)
+        return self.hr_step(gath, syn)
 
 
 def _valid_conv(conv: Conv, x_padded: Array) -> Array:

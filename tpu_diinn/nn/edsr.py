@@ -23,6 +23,7 @@ class EDSRBaseline(nn.Module):
     """Headless EDSR: conv head + residual body, returns (B, H, W, n_feats)."""
     n_resblocks: int = 16
     n_feats: int = 64
+    halo_axis: Any = None
     dtype: Any = None
 
     @property
@@ -31,11 +32,14 @@ class EDSRBaseline(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        y = Conv(self.n_feats, 3, dtype=self.dtype, name="head")(x)
+        y = Conv(self.n_feats, 3, halo_axis=self.halo_axis, dtype=self.dtype,
+                 name="head")(x)
         r = y
         for i in range(self.n_resblocks):
-            r = ResBlock(self.n_feats, 3, dtype=self.dtype, name=f"res{i}")(r)
-        r = Conv(self.n_feats, 3, dtype=self.dtype, name="body_tail")(r)
+            r = ResBlock(self.n_feats, 3, halo_axis=self.halo_axis,
+                         dtype=self.dtype, name=f"res{i}")(r)
+        r = Conv(self.n_feats, 3, halo_axis=self.halo_axis, dtype=self.dtype,
+                 name="body_tail")(r)
         return y + r
 
 

@@ -50,20 +50,36 @@ def torch_bias_init_for(fan_in: int) -> Callable:
 
 
 class Conv(nn.Module):
-    """Same-padded 2-D conv (NHWC) with torch-default init."""
+    """Same-padded 2-D conv (NHWC) with torch-default init.
+
+    ``halo_axis``: when set (inside shard_map with the H axis sharded over
+    that mesh axis), the conv exchanges kernel_size//2 edge rows with its
+    neighbors and convolves VALID along H — bit-identical to the unsharded
+    SAME conv, including zero padding at the global boundary. This is the
+    exact per-layer halo scheme for spatially-sharded encoders
+    (SURVEY.md §2.3/§7.3).
+    """
     features: int
     kernel_size: int = 3
     use_bias: bool = True
+    halo_axis: Any = None
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
-        fan_in = self.kernel_size * self.kernel_size * in_ch
+        k = self.kernel_size
+        fan_in = k * k * in_ch
+        pad = (k - 1) // 2
+        padding = "SAME"
+        if self.halo_axis is not None and pad > 0:
+            from tpu_diinn.parallel.sharding import halo_exchange
+            x = halo_exchange(x, pad, self.halo_axis, spatial_axis=1)
+            padding = [(0, 0), (pad, pad)]  # VALID on H, SAME on W
         return nn.Conv(
             features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            padding="SAME",
+            kernel_size=(k, k),
+            padding=padding,
             use_bias=self.use_bias,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init_for(fan_in),
@@ -125,15 +141,16 @@ class ResBlock(nn.Module):
     n_feats: int
     kernel_size: int = 3
     res_scale: float = 1.0
+    halo_axis: Any = None
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        y = Conv(self.n_feats, self.kernel_size, dtype=self.dtype,
-                 name="conv0")(x)
+        y = Conv(self.n_feats, self.kernel_size, halo_axis=self.halo_axis,
+                 dtype=self.dtype, name="conv0")(x)
         y = nn.relu(y)
-        y = Conv(self.n_feats, self.kernel_size, dtype=self.dtype,
-                 name="conv1")(y)
+        y = Conv(self.n_feats, self.kernel_size, halo_axis=self.halo_axis,
+                 dtype=self.dtype, name="conv1")(y)
         return x + y * self.res_scale
 
 

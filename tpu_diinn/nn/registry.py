@@ -25,10 +25,10 @@ ENCODERS = {
 }
 
 
-def make_encoder(spec: str, *, dtype=None, name: Optional[str] = None
-                 ) -> nn.Module:
+def make_encoder(spec: str, *, dtype=None, name: Optional[str] = None,
+                 halo_axis=None) -> nn.Module:
     cls, kwargs = ENCODERS[spec]
-    return cls(dtype=dtype, name=name, **kwargs)
+    return cls(dtype=dtype, name=name, halo_axis=halo_axis, **kwargs)
 
 
 def encoder_out_dim(spec: str) -> int:

@@ -67,9 +67,16 @@ def make_train_step(task: SRTask, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None, donate: bool = True):
     """Returns a jitted (state, batch) -> (state, metrics) step."""
 
+    constrain = None
+    if mesh is not None and mesh.shape.get("space", 1) > 1:
+        from tpu_diinn.parallel.sharding import shard_queries
+        constrain = lambda t: shard_queries(t, mesh)
+
     def step_fn(state: TrainState, batch):
         def loss_fn(params):
-            return task.train_loss(params, batch)
+            loss, _ = task.loss_and_preds(params, batch,
+                                          constrain=constrain)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -40,15 +40,22 @@ class SRTask:
     eval_bsize: int = 30000
 
     def loss_and_preds(self, params, batch: Dict[Any, Tuple[Array, Array]],
-                       bsize: Optional[int] = None):
+                       bsize: Optional[int] = None, constrain=None):
         """Multi-scale step (reference ``SRLitModule.step``,
-        sr_module.py:113-125): batch maps scale -> (lr, hr) in [0, 1]."""
+        sr_module.py:113-125): batch maps scale -> (lr, hr) in [0, 1].
+
+        ``constrain`` (optional) is applied to each HR prediction — pass a
+        sharding constraint (parallel/sharding.shard_queries) to partition
+        the decode over the mesh's 'space' axis.
+        """
         loss = 0.0
         preds = {}
         for scale, (lr, hr) in batch.items():
             x = normalize(lr)
             y = normalize(hr)
             pred = self.net.apply(params, x, hr.shape[1:3], bsize)
+            if constrain is not None:
+                pred = constrain(pred)
             loss = loss + jnp.mean(jnp.abs(pred - y))
             preds[scale] = jnp.clip(denormalize(pred), 0.0, 1.0)
         return loss / len(batch), preds
