@@ -54,6 +54,9 @@ class TrainerConfig:
     check_val_every_n_epoch: int = 1
     log_every_n_steps: int = 50
     ckpt_dir: str = "./checkpoints"
+    log_dir: Optional[str] = None     # JSONL metrics (train/logging.py)
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    debug_nans: bool = False          # reference detect_anomaly equivalent
     resume: Optional[str] = None
     mesh_data: int = -1             # data-parallel axis size (-1 = all devices)
     mesh_space: int = 1             # query/space-parallel axis size

@@ -67,18 +67,32 @@ def _augment(imgs: List[np.ndarray], rng: np.random.Generator
 
 
 class SRDatasetDownsample:
-    """On-the-fly LR generation from HR images (srdata.py:168-237)."""
+    """On-the-fly LR generation from HR images (srdata.py:168-237).
+
+    ``use_native``: decode/crop/resize through the C++ loader
+    (tpu_diinn/native) when it built successfully — the host-side hot loop
+    (3 bicubic downsamples per sample) runs outside the GIL. Falls back to
+    the PIL/numpy path automatically; both produce identical samples.
+    """
 
     def __init__(self, root: str = "./data/", name: str = "DIV2K",
                  split: str = "train", file_ext: str = ".png",
                  scales: Sequence[float] = (2,), patch_size: int = 96,
-                 augment: bool = True):
+                 augment: bool = True, use_native: bool = True):
         self.scales = list(scales)
         self.patch_size = patch_size
         self.augment = augment
         hr_dir = Path(root) / name / DATASET_DIR_STRUCTURE[name][split]["hr_dir"]
         self.names_hr = sorted(
             glob.glob(os.path.join(str(hr_dir), "*" + file_ext)))
+        self._native = None
+        if use_native:
+            try:
+                from tpu_diinn.native import loader as native_loader
+                if native_loader.available():
+                    self._native = native_loader
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         return len(self.names_hr)
@@ -100,10 +114,24 @@ class SRDatasetDownsample:
 
     def sample(self, idx: int, rng: np.random.Generator) -> Sample:
         path = self.names_hr[idx]
-        hr_img = _read_image(path)
         name = os.path.splitext(os.path.basename(path))[0]
+        native = self._native
+        hr_img = native.decode_image(path) if native else _read_image(path)
         out: Sample = {}
         for scale in self.scales:
+            if native is not None and self.patch_size > 0:
+                ps = self.patch_size
+                hps = int(round(ps * scale))
+                top = int(rng.integers(0, hr_img.shape[0] - hps + 1))
+                left = int(rng.integers(0, hr_img.shape[1] - hps + 1))
+                if self.augment:
+                    hf, vf, df = (rng.random(3) < 0.5)
+                else:
+                    hf = vf = df = False
+                lr, hr = native.sample_patch(hr_img, top, left, hps, ps,
+                                             bool(hf), bool(vf), bool(df))
+                out[scale] = (lr, hr, name)
+                continue
             lr, hr = self.get_patch(hr_img, scale, rng)
             if self.augment:
                 lr, hr = _augment([lr, hr], rng)

@@ -184,8 +184,15 @@ def test_metrics(task: SRTask, params, dataset, cfg: Config,
 
 
 def train(cfg: Config, *, max_steps: Optional[int] = None,
-          log_fn=print) -> TrainState:
+          log_fn=None) -> TrainState:
     """Full training driver (reference Trainer.fit, SURVEY.md §3.1)."""
+    from tpu_diinn.train.logging import MetricsLogger
+    from tpu_diinn.train import profiling
+    if cfg.trainer.debug_nans:
+        profiling.enable_debug_nans(True)
+    logger = MetricsLogger(cfg.trainer.log_dir, stdout=log_fn is None)
+    if log_fn is None:
+        log_fn = print
     mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_space)
     n_data = mesh.shape["data"]
     d = cfg.data
@@ -221,17 +228,17 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             global_step += 1
             losses.append(m["loss"])
             if global_step % cfg.trainer.log_every_n_steps == 0:
-                log_fn(f"step {global_step} epoch {epoch} "
-                       f"loss {float(m['loss']):.4f} "
-                       f"({(time.time() - t0):.1f}s)")
+                logger.log(global_step, {"train_loss": float(m["loss"]),
+                                         "grad_norm": float(m["grad_norm"])},
+                           epoch=epoch)
             if max_steps is not None and global_step >= max_steps:
                 break
         if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
             vm = validate(task, state.params, val_ds, cfg, max_images=4)
             vm["train_loss"] = float(jnp.mean(jnp.stack(losses))) if losses \
                 else float("nan")
-            log_fn(f"epoch {epoch}: " + " ".join(
-                f"{k}={v:.4f}" for k, v in vm.items()))
+            logger.log(global_step, vm, epoch=epoch)
             ckpt.save(state, step=global_step, val_loss=vm["val_loss"],
                       config=to_dict(cfg))
+    logger.close()
     return state
