@@ -206,9 +206,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     state = init_state(cfg, tx, rng)
     ckpt = CheckpointManager(cfg.trainer.ckpt_dir)
     if cfg.trainer.resume:
-        restored, meta = CheckpointManager(cfg.trainer.resume).restore(
-            "last", target=dataclasses.asdict(state) if False else state)
-        state = restored
+        state, meta = CheckpointManager(cfg.trainer.resume).restore(
+            "last", target=state)
         log_fn(f"resumed from {cfg.trainer.resume} @ step {meta['step']}")
     step_fn = make_train_step(task, tx, mesh, donate=cfg.trainer.donate)
 
