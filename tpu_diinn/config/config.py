@@ -28,6 +28,7 @@ class ModelConfig:
     lr_step: int = 10               # sr_module.py:83 (epochs)
     eval_bsize: int = 30000         # sr_module.py:85
     dtype: str = "float32"          # compute dtype: float32 | bfloat16
+    use_fused: Optional[bool] = None  # fused Pallas decode (None = auto/TPU)
 
 
 @dataclass

@@ -77,6 +77,10 @@ class ImplicitDecoder(nn.Module):
     # the default polynomial sine (core/fastmath.py, |err| <= 1.4e-6) is ~2x
     # faster on the TPU VPU, where sine dominates the decoder's runtime.
     exact_sin: bool = False
+    # use_fused: None = auto (fused Pallas decode on TPU for the mode-3
+    # training path — kernels/decoder_fused.py keeps the k/q chain in VMEM,
+    # ~1.4x over the XLA path); True/False forces it on/off.
+    use_fused: Optional[bool] = None
     dtype: Any = None
 
     @property
@@ -118,6 +122,56 @@ class ImplicitDecoder(nn.Module):
         else:
             self.last_dense = Dense(self.out_channels, dtype=self.dtype,
                                     name="last_dense")
+
+    # -- fused Pallas path (kernels/decoder_fused.py) -----------------------
+    def _fused_ok(self, in_size: Tuple[int, int],
+                  size: Tuple[int, int]) -> bool:
+        """Whether the fused TPU kernel covers this decode.
+
+        Kernel scope: mode 3, no init_q, polynomial sine, uniform hidden
+        widths. Size gate keeps per-program VMEM bounded: the stacked LR
+        features plus one (tile_h x W_out) activation chain must fit; large
+        full-grid decodes go through the XLA/window paths instead.
+        """
+        if self.use_fused is False:
+            return False
+        ok = (self.mode == 3 and not self.init_q and not self.exact_sin
+              and len(set(self.hidden_dims)) == 1)
+        if not ok:
+            return False
+        if self.use_fused is None:
+            import jax
+            if jax.default_backend() not in ("tpu", "axon"):
+                return False
+        h_in, w_in = in_size
+        h_out, w_out = size
+        hid = self.hidden_dims[0]
+        ch_all = len(self.hidden_dims) * hid
+        z_bytes = h_in * w_in * ch_all * 2          # bf16 LR stack, in VMEM
+        tile_bytes = 16 * w_out * (ch_all + 6 * hid) * 4  # fp32 tile chain
+        return z_bytes <= 24 * 1024 * 1024 and tile_bytes <= 48 * 1024 * 1024
+
+    def _fused_params(self) -> dict:
+        dt = self.dtype or jnp.float32
+        f32 = jnp.float32
+        n = len(self.hidden_dims)
+
+        def kb(m):
+            v = m.variables["params"]["dense"]
+            return v["kernel"], v["bias"]
+
+        w0, b0 = kb(self.q_layers[0])
+        wl, bl = kb(self.last_dense)
+        wkq, bkq = zip(*(kb(m) for m in self.kq_layers))
+        wq, bq = zip(*(kb(m) for m in self.q_layers[1:]))
+        return {
+            "w0": jnp.asarray(w0, dt), "b0": jnp.asarray(b0, f32),
+            "wkq": jnp.stack([jnp.asarray(w, dt) for w in wkq]),
+            "bkq": jnp.stack([jnp.asarray(b, f32) for b in bkq]),
+            "wq": jnp.stack([jnp.asarray(w, dt) for w in wq]),
+            "bq": jnp.stack([jnp.asarray(b, f32) for b in bq]),
+            "wl": jnp.asarray(wl, dt), "bl": jnp.asarray(bl, f32),
+        }
 
     # -- LR-side precomputation -------------------------------------------
     def lr_features(self, feat: Array) -> Tuple[Array, ...]:
@@ -182,6 +236,13 @@ class ImplicitDecoder(nn.Module):
                                         dtype=feat.dtype)
 
         if bsize is None:
+            if self._fused_ok((h_in, w_in), (h_out, w_out)) \
+                    and not self.is_initializing():
+                from tpu_diinn.kernels.decoder_fused import decode_fused
+                z = jnp.concatenate(list(zs), axis=-1)
+                out = decode_fused(z, syn_full.astype(jnp.float32),
+                                   (h_out, w_out), self._fused_params())
+                return out.astype(z.dtype)
             # Training path: nearest-exact upsample as one-hot matmuls for
             # all layers at once (single big MXU contraction; matmul VJP —
             # no scatter-add in the backward).
@@ -284,6 +345,7 @@ class DIINN(nn.Module):
     encoder_spec: str = "rdn"
     hidden_dims: Sequence[int] = (256, 256, 256, 256)
     exact_sin: bool = False
+    use_fused: Optional[bool] = None
     dtype: Any = None
 
     @nn.compact
@@ -295,5 +357,6 @@ class DIINN(nn.Module):
         dec = ImplicitDecoder(in_channels=feat.shape[-1],
                               hidden_dims=self.hidden_dims, mode=self.mode,
                               init_q=self.init_q, exact_sin=self.exact_sin,
+                              use_fused=self.use_fused,
                               dtype=self.dtype, name="decoder")
         return dec(feat, size, bsize)

@@ -42,14 +42,14 @@ def encoder_out_dim(spec: str) -> int:
 
 def make_net(arch: str, *, mode: int = 3, init_q: bool = False,
              encoder_spec: str = "rdn", dtype: Any = None,
-             hidden_dims=None) -> nn.Module:
+             hidden_dims=None, use_fused: Optional[bool] = None) -> nn.Module:
     from tpu_diinn.nn.diinn import DIINN
     from tpu_diinn.nn.liif import LIIF
     from tpu_diinn.nn.metasr import MetaSR
     from tpu_diinn.nn.bicubic import BicubicNet
     if arch == "diinn":
         kw = dict(mode=mode, init_q=init_q, encoder_spec=encoder_spec,
-                  dtype=dtype)
+                  dtype=dtype, use_fused=use_fused)
         if hidden_dims is not None:
             kw["hidden_dims"] = tuple(hidden_dims)
         return DIINN(**kw)

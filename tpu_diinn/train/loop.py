@@ -49,7 +49,7 @@ def build_task(cfg: Config) -> SRTask:
     dtype = jnp.bfloat16 if m.dtype == "bfloat16" else None
     net = make_net(m.arch, mode=m.mode, init_q=m.init_q,
                    encoder_spec=m.encoder, dtype=dtype,
-                   hidden_dims=m.hidden_dims)
+                   hidden_dims=m.hidden_dims, use_fused=m.use_fused)
     return SRTask(net=net, eval_bsize=m.eval_bsize)
 
 
