@@ -128,6 +128,153 @@ def test_train_step_on_8_device_mesh():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+def test_bounded_prefetch_limits_inflight_tasks():
+    """_bounded_map must never run ahead of the consumer by more than the
+    bound (the reference of VERDICT 'unbounded prefetch' fix): an
+    epoch-scale iterable may not be eagerly materialized."""
+    from concurrent.futures import ThreadPoolExecutor
+    import threading
+
+    loaded = []
+    lock = threading.Lock()
+
+    def load(i):
+        with lock:
+            loaded.append(i)
+        return i
+
+    items = list(range(100))
+    bound = 6
+    consumed = 0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for x in pipeline._bounded_map(pool, load, items, bound):
+            assert x == consumed  # ordered
+            consumed += 1
+            # everything submitted so far is within the window
+            assert len(loaded) <= consumed + bound
+    assert consumed == 100 and sorted(loaded) == items
+
+
+def test_pipeline_shards_are_disjoint_and_cover_global_order():
+    """Two host shards of an epoch = the exact unsharded batch stream,
+    split round-robin: disjoint, same per-sample bytes, full coverage
+    (multi-host data feed, sr_datamodule.py:137-144 DDP equivalent)."""
+    d = SyntheticSRDataset(n_images=4, scales=(2,), patch_size=8, seed=1,
+                           augment=False)
+    kw = dict(batch_size=2, epoch=0, seed=9, repeat=2, num_workers=1)
+    full = [b[2][0] for b in pipeline.train_batches(d, **kw)]
+    kw_sh = dict(batch_size=1, epoch=0, seed=9, repeat=2, num_workers=1)
+    sh0 = [b[2][0] for b in pipeline.train_batches(d, shard_index=0,
+                                                   num_shards=2, **kw_sh)]
+    sh1 = [b[2][0] for b in pipeline.train_batches(d, shard_index=1,
+                                                   num_shards=2, **kw_sh)]
+    full_flat = np.concatenate(full, axis=0)
+    merged = np.concatenate(
+        [np.concatenate([a, b], axis=0) for a, b in zip(sh0, sh1)], axis=0)
+    np.testing.assert_array_equal(full_flat, merged)
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    """Kill-and-resume: 1 epoch + resume-for-1 must bit-match a straight
+    2-epoch run (params, step count, data order) — VERDICT round-1 item 6."""
+    def cfg_for(ckpt, max_epochs, resume=None):
+        ov = [
+            "model.encoder=edsr-baseline-tiny",
+            "model.hidden_dims=[16,16]",
+            "data.synthetic=true", "data.batch_size=8",
+            "data.patch_size=16", "data.train_scales=[2]",
+            "data.trainsets_repeat=1",
+            f"trainer.max_epochs={max_epochs}",
+            "trainer.limit_val_images=1",
+            f"trainer.ckpt_dir={ckpt}",
+        ]
+        if resume:
+            ov.append(f"trainer.resume={resume}")
+        return load_config(overrides=ov)
+
+    silent = lambda *a, **k: None
+    straight = loop.train(cfg_for(tmp_path / "a", 2), log_fn=silent)
+    part1 = loop.train(cfg_for(tmp_path / "b", 1), log_fn=silent)
+    resumed = loop.train(cfg_for(tmp_path / "b2", 2,
+                                 resume=str(tmp_path / "b")), log_fn=silent)
+    assert int(straight.step) == int(resumed.step)
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and it actually continued rather than redoing epoch 0
+    assert int(resumed.step) == 2 * int(part1.step)
+
+
+def test_make_datasets_from_config(tmp_path):
+    """trainsets/testsets config drives dataset assembly
+    (sr_datamodule.py:85-135): DIV2K split into train/val tails, benchmark
+    sets reachable, all from one config."""
+    from PIL import Image
+    root = tmp_path / "data"
+    d2k = root / "DIV2K" / "DIV2K_train_HR"
+    d2k.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(9):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                        ).save(d2k / f"{i:04d}.png")
+    set5 = root / "benchmark" / "Set5" / "HR"
+    set5.mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+                        ).save(set5 / f"img{i}.png")
+
+    cfg = load_config(overrides=[
+        f"data.root={root}", "data.train_scales=[2]",
+        "data.test_scales=[2]", "data.patch_size=8",
+        'data.testsets=[["DIV2K","train"],["benchmark","Set5"]]',
+    ])
+    train, val = loop.make_datasets(cfg)
+    assert len(train) == 8 and len(val) == 1  # 8/9ths split of 9 images
+    # disjoint: val image is the last one, never in train
+    vs = val.sample(0, np.random.default_rng(0))
+    assert vs[2][2] == "0008"
+    tests = loop.make_test_datasets(cfg)
+    assert set(tests) == {"DIV2K", "Set5"}
+    assert len(tests["DIV2K"]) == 1 and len(tests["Set5"]) == 2
+
+
+def test_weighted_mean_matches_sync_dist_semantics():
+    wm = loop.WeightedMean()
+    wm.update(1.0, 3)
+    wm.update(2.0, 1)
+    assert abs(wm.compute() - (1.0 * 3 + 2.0) / 4) < 1e-12
+    # constant weights == plain mean
+    wm2 = loop.WeightedMean()
+    for v in (0.5, 1.5, 2.5):
+        wm2.update(v, 4)
+    assert abs(wm2.compute() - 1.5) < 1e-12
+
+
+def test_paired_dataset_binarize_cache(tmp_path):
+    from PIL import Image
+    from tpu_diinn.data.datasets import SRDatasetPaired
+    root = tmp_path / "data"
+    hr = root / "DIV2K" / "DIV2K_train_HR"
+    lr = root / "DIV2K" / "DIV2K_train_LR_bicubic" / "X2"
+    hr.mkdir(parents=True)
+    lr.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                    ).save(hr / "0001.png")
+    Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                    ).save(lr / "0001x2.png")
+    plain = SRDatasetPaired(root=str(root), scales=(2,), patch_size=8)
+    cached = SRDatasetPaired(root=str(root), scales=(2,), patch_size=8,
+                             binarize=True)
+    s1 = plain.sample(0, np.random.default_rng(7))
+    s2 = cached.sample(0, np.random.default_rng(7))   # populates cache
+    s3 = cached.sample(0, np.random.default_rng(7))   # reads cache
+    for a, b in ((s1, s2), (s2, s3)):
+        np.testing.assert_array_equal(a[2][0], b[2][0])
+        np.testing.assert_array_equal(a[2][1], b[2][1])
+    assert list((root / "DIV2K" / "bin").glob("*.npy"))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from tpu_diinn.train.checkpoint import CheckpointManager, load_params
     cfg = tiny_config(str(tmp_path / "ck"))

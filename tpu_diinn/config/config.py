@@ -57,8 +57,10 @@ class TrainerConfig:
     ckpt_dir: str = "./checkpoints"
     log_dir: Optional[str] = None     # JSONL metrics (train/logging.py)
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    profile_steps: int = 5            # steps to trace when profile_dir set
     debug_nans: bool = False          # reference detect_anomaly equivalent
     resume: Optional[str] = None
+    limit_val_images: Optional[int] = None  # None = full val set
     mesh_data: int = -1             # data-parallel axis size (-1 = all devices)
     mesh_space: int = 1             # query/space-parallel axis size
     donate: bool = True

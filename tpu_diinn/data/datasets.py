@@ -139,14 +139,50 @@ class SRDatasetDownsample:
         return out
 
 
+class Subset:
+    """Index-remapped view of a dataset (reference torch.utils.data.Subset,
+    ``sr_datamodule.py:97-103``)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def sample(self, idx, rng):
+        return self.dataset.sample(self.indices[idx], rng)
+
+
+class ConcatDataset:
+    """Sequential concatenation of datasets (reference
+    torch ConcatDataset, ``sr_datamodule.py:106-108``)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def sample(self, idx, rng):
+        k = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.datasets[k].sample(idx - int(self._offsets[k]), rng)
+
+
 class SRDatasetPaired:
     """Pre-generated LR/HR pair loader (srdata.py:42-161). ``scales`` must be
-    integers; LR files follow ``LR_bicubic/X{s}/{name}x{s}{ext}``."""
+    integers; LR files follow ``LR_bicubic/X{s}/{name}x{s}{ext}``.
+
+    ``binarize=True`` caches each decoded image as ``.npy`` under
+    ``<root>/<name>/bin/`` the first time it is read (the reference's pickle
+    binarization cache, ``srdata.py:61-77,134-138``) — later epochs skip the
+    PNG decode entirely."""
 
     def __init__(self, root: str = "./data/", name: str = "DIV2K",
                  split: str = "train", file_ext: str = ".png",
                  scales: Sequence[int] = (2,), patch_size: int = 96,
-                 augment: bool = True):
+                 augment: bool = True, binarize: bool = False):
         self.scales = list(scales)
         self.patch_size = patch_size
         self.augment = augment
@@ -157,6 +193,22 @@ class SRDatasetPaired:
         self.file_ext = file_ext
         self.names_hr = sorted(
             glob.glob(os.path.join(str(self.hr_dir), "*" + file_ext)))
+        self.bin_dir = (base / "bin") if binarize else None
+        if self.bin_dir is not None:
+            self.bin_dir.mkdir(parents=True, exist_ok=True)
+
+    def _read(self, path: str) -> np.ndarray:
+        if self.bin_dir is None:
+            return _read_image(path)
+        rel = os.path.relpath(path, self.bin_dir.parent)
+        cached = self.bin_dir / (rel.replace(os.sep, "__") + ".npy")
+        if cached.exists():
+            return np.load(cached)
+        img = _read_image(path)
+        tmp = cached.with_suffix(".tmp.npy")
+        np.save(tmp, img)
+        os.replace(tmp, cached)
+        return img
 
     def __len__(self) -> int:
         return len(self.names_hr)
@@ -168,10 +220,10 @@ class SRDatasetPaired:
     def sample(self, idx: int, rng: np.random.Generator) -> Sample:
         path = self.names_hr[idx]
         name = os.path.splitext(os.path.basename(path))[0]
-        hr_img = _read_image(path).astype(np.float32)
+        hr_img = self._read(path).astype(np.float32)
         out: Sample = {}
         for scale in self.scales:
-            lr_img = _read_image(self._lr_path(path, scale)).astype(np.float32)
+            lr_img = self._read(self._lr_path(path, scale)).astype(np.float32)
             if self.patch_size == 0:
                 lh, lw = lr_img.shape[:2]
                 hr_c = hr_img[: lh * scale, : lw * scale]

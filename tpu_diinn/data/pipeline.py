@@ -16,6 +16,7 @@ multi-host sharding trivial: host h takes indices h::num_hosts.
 
 from __future__ import annotations
 
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Tuple
 
@@ -27,6 +28,29 @@ Batch = Dict[float, Tuple[np.ndarray, np.ndarray]]
 def _sample_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
     return np.random.default_rng(
         np.random.SeedSequence([seed, epoch, index]))
+
+
+def _bounded_map(pool: ThreadPoolExecutor, fn, items, bound: int):
+    """Ordered ``pool.map`` with at most ``bound`` tasks in flight.
+
+    ``Executor.map`` submits every task eagerly, so on an epoch-scale
+    iterable completed-but-unconsumed results pile up in host RAM whenever
+    the consumer (the train step) is slower than the loader threads. This
+    keeps a fixed-size submission window instead: host memory is bounded by
+    ``bound`` decoded samples regardless of epoch length.
+    """
+    items = list(items)
+    inflight: deque = deque()
+    nxt = 0
+    try:
+        while nxt < len(items) or inflight:
+            while nxt < len(items) and len(inflight) < bound:
+                inflight.append(pool.submit(fn, items[nxt]))
+                nxt += 1
+            yield inflight.popleft().result()
+    finally:
+        for f in inflight:
+            f.cancel()
 
 
 def train_batches(dataset, *, batch_size: int, epoch: int, seed: int = 123,
@@ -46,10 +70,11 @@ def train_batches(dataset, *, batch_size: int, epoch: int, seed: int = 123,
         return dataset.sample(gidx % len(dataset),
                               _sample_rng(seed, epoch, gidx))
 
-    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-        it = pool.map(load, range(len(order)), chunksize=1)
+    workers = max(1, num_workers)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        bound = max(2 * workers, 2 * batch_size)
         buf = []
-        for sample in it:
+        for sample in _bounded_map(pool, load, range(len(order)), bound):
             buf.append(sample)
             if len(buf) == batch_size:
                 yield _collate(buf)
@@ -76,7 +101,8 @@ def eval_batches(dataset, *, seed: int = 123,
     def load(i):
         return i, dataset.sample(i, _sample_rng(seed, 0, i))
 
-    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-        for i, sample in pool.map(load, idxs, chunksize=1):
+    workers = max(1, num_workers)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for i, sample in _bounded_map(pool, load, idxs, 2 * workers):
             yield i, {s: (lr[None], hr[None], name)
                       for s, (lr, hr, name) in sample.items()}

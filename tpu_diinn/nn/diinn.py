@@ -22,7 +22,7 @@ factorizes exactly into
 The 576-channel HR tensor never exists; the HR-side cost drops from
 ~1.0 MFLOPs to ~0.4 MFLOPs per query, and the heavy 3x3 contractions run once
 per LR pixel instead of once per HR query. Bit-identical to the reference
-semantics (verified against golden fixtures in tests/test_diinn_parity.py).
+semantics (verified against golden fixtures in tests/test_model_parity.py).
 
 Supports all four interaction modes and ``init_q`` (``diinn.py:39-92``):
 - mode 1: content chain feeds forward alone (k = K_i(k)).

@@ -43,8 +43,9 @@ class CheckpointManager:
         tmp.rename(path)
 
     def save(self, state: Any, *, step: int, val_loss: float,
-             config: dict) -> None:
-        meta = {"step": step, "val_loss": float(val_loss), "config": config}
+             config: dict, epoch: int = -1) -> None:
+        meta = {"step": step, "epoch": int(epoch),
+                "val_loss": float(val_loss), "config": config}
         self._save("last", state, meta)
         if val_loss < self.best_loss:
             self.best_loss = float(val_loss)

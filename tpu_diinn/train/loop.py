@@ -89,23 +89,59 @@ def make_train_step(task: SRTask, tx: optax.GradientTransformation,
     kwargs = {}
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data_sh = NamedSharding(mesh, P("data"))
-        kwargs["out_shardings"] = ((repl, repl, repl), repl)
-        # in_shardings left to infer from operands (params replicated,
-        # batches pre-placed on the data axis by shard_batch).
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        # state and metrics replicated; batches pre-placed on the data axis
+        # by shard_batch, in_shardings inferred from operands.
+        kwargs["out_shardings"] = (repl, repl)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else (), **kwargs)
 
 
 def shard_batch(batch: Dict[float, Tuple[np.ndarray, np.ndarray]],
                 mesh: Optional[Mesh]):
-    """Place a numpy batch on device, batch axis over the 'data' mesh axis."""
+    """Place a numpy batch on device, batch axis over the 'data' mesh axis.
+
+    Multi-host: each process holds only its shard of the global batch
+    (``pipeline.train_batches(shard_index=process_index)``), assembled into
+    one global array via ``make_array_from_process_local_data`` — the
+    jax-native equivalent of DDP's per-rank DataLoader feed
+    (``sr_datamodule.py:137-144``)."""
     if mesh is None:
         return jax.tree.map(jnp.asarray, batch)
     sh = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sh, np.asarray(a)), batch)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 
 
+Subset = ds.Subset
+
+
+def _build_set(cfg: Config, name: str, split: str, *, scales, patch_size: int,
+               augment: bool):
+    """One dataset from a (name, split) config entry.
+
+    DIV2K's 900 train images are partitioned reference-style: ``train`` =
+    [0:800], ``val``/``test`` = [800:900] (``sr_datamodule.py:97-103,
+    130-135``). Benchmark sets are used whole. The split range adapts to
+    however many images are actually on disk (8/9ths train, the rest val)
+    so reduced local copies keep a disjoint train/val divide."""
+    if name == "DIV2K":
+        full = ds.SRDatasetDownsample(root=cfg.data.root, name="DIV2K",
+                                      split="train", scales=scales,
+                                      patch_size=patch_size, augment=augment)
+        n = len(full)
+        cut = 800 if n >= 900 else (n * 8) // 9
+        rng = range(0, cut) if split == "train" else range(cut, n)
+        return ds.Subset(full, rng)
+    return ds.SRDatasetDownsample(root=cfg.data.root, name=name, split=split,
+                                  scales=scales, patch_size=patch_size,
+                                  augment=augment)
+
+
 def make_datasets(cfg: Config):
+    """Train/val assembly from ``cfg.data.trainsets``
+    (reference ``sr_datamodule.py:85-135``)."""
     d = cfg.data
     if d.synthetic:
         train = ds.SyntheticSRDataset(n_images=16, scales=d.train_scales,
@@ -114,52 +150,75 @@ def make_datasets(cfg: Config):
                                     patch_size=0, augment=False,
                                     seed=cfg.seed + 1, image_size=96)
         return train, val
-    train = ds.SRDatasetDownsample(root=d.root, name="DIV2K", split="train",
-                                   scales=d.train_scales,
-                                   patch_size=d.patch_size, augment=True)
-    val_full = ds.SRDatasetDownsample(root=d.root, name="DIV2K",
-                                      split="train", scales=d.train_scales,
-                                      patch_size=0, augment=False)
-    # reference: train = DIV2K[0:800], val = DIV2K[800:900]
-    # (sr_datamodule.py:97-103,130-135)
-    train = Subset(train, range(0, min(800, len(train))))
-    val = Subset(val_full, range(800, min(900, len(val_full))))
+    trains = [_build_set(cfg, name, split, scales=d.train_scales,
+                         patch_size=d.patch_size, augment=True)
+              for name, split in d.trainsets]
+    train = trains[0] if len(trains) == 1 else ds.ConcatDataset(trains)
+    # val = the held-out tail of the first trainset, full images
+    # (sr_datamodule.py:130-135: DIV2K[800:900]).
+    val_name, _ = d.trainsets[0]
+    val = _build_set(cfg, val_name, "val", scales=d.train_scales,
+                     patch_size=0, augment=False)
     return train, val
 
 
-class Subset:
-    def __init__(self, dataset, indices):
-        self.dataset = dataset
-        self.indices = list(indices)
+def make_test_datasets(cfg: Config) -> Dict[str, Any]:
+    """Test assembly from ``cfg.data.testsets`` at ``test_scales``
+    (reference ``sr_datamodule.py:110-135,155-162``: DIV2K val + benchmark
+    sets wired into the same run). Entries: ("DIV2K", "train") means the
+    DIV2K val tail; ("benchmark", <SetName>) a benchmark set."""
+    out: Dict[str, Any] = {}
+    for name, split in cfg.data.testsets:
+        key = split if name == "benchmark" else name
+        dset = _build_set(cfg, name, "val" if name == "DIV2K" else split,
+                          scales=cfg.data.test_scales, patch_size=0,
+                          augment=False)
+        out[key] = dset
+    return out
 
-    def __len__(self):
-        return len(self.indices)
 
-    def sample(self, idx, rng):
-        return self.dataset.sample(self.indices[idx], rng)
+class WeightedMean:
+    """Batch-size-weighted epoch mean, matching Lightning's
+    ``self.log(..., batch_size=B, sync_dist=True)`` epoch aggregation
+    (``sr_module.py:130,146,153``): epoch value = sum(v_i * B_i) / sum(B_i).
+    With constant batch sizes (train drop_last, batch-1 eval) this equals
+    the plain mean; it differs exactly when batch sizes vary."""
+
+    def __init__(self):
+        self.num = 0.0
+        self.den = 0.0
+
+    def update(self, value: float, weight: float = 1.0) -> None:
+        self.num += float(value) * float(weight)
+        self.den += float(weight)
+
+    def compute(self) -> float:
+        return self.num / self.den if self.den else float("nan")
 
 
 def validate(task: SRTask, params, val_dataset, cfg: Config,
              max_images: Optional[int] = None) -> Dict[str, float]:
     """Full-image val loop: loss + div2k-protocol PSNR per scale
-    (sr_module.py:143-154)."""
-    losses, psnrs = [], {}
+    (sr_module.py:143-154). ``max_images=None`` = the full val set,
+    matching the reference's 100-image DIV2K val protocol."""
+    losses, psnrs = WeightedMean(), {}
     n = len(val_dataset) if max_images is None else min(max_images,
                                                         len(val_dataset))
     for _, batch in pipeline.eval_batches(val_dataset, seed=cfg.seed,
                                           indices=range(n)):
         pure = {s: (jnp.asarray(lr), jnp.asarray(hr))
                 for s, (lr, hr, _name) in batch.items()}
+        bs = next(iter(pure.values()))[0].shape[0]
         loss, preds = task.loss_and_preds(params, pure,
                                           bsize=task.eval_bsize)
-        losses.append(float(loss))
+        losses.update(float(loss), bs)
         for s, pred in preds.items():
             p = float(M.calc_psnr(pred, pure[s][1], dataset="div2k",
                                   scale=s))
-            psnrs.setdefault(s, []).append(p)
-    out = {"val_loss": float(np.mean(losses))}
-    for s, vals in psnrs.items():
-        out[f"val_psnr_x{s:g}"] = float(np.mean(vals))
+            psnrs.setdefault(s, WeightedMean()).update(p, bs)
+    out = {"val_loss": losses.compute()}
+    for s, wm in psnrs.items():
+        out[f"val_psnr_x{s:g}"] = wm.compute()
     return out
 
 
@@ -167,20 +226,21 @@ def test_metrics(task: SRTask, params, dataset, cfg: Config,
                  max_images: Optional[int] = None) -> Dict[str, float]:
     """Benchmark test loop: psnr/ssim/lr_psnr per scale
     (sr_module.py:159-180)."""
-    acc: Dict[str, list] = {}
+    acc: Dict[str, WeightedMean] = {}
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     for _, batch in pipeline.eval_batches(dataset, seed=cfg.seed,
                                           indices=range(n)):
         for s, (lr, hr, _name) in batch.items():
             lr, hr = jnp.asarray(lr), jnp.asarray(hr)
+            bs = lr.shape[0]
             pred = task.predict(params, lr, hr.shape[1:3])
-            acc.setdefault(f"test_psnr_x{s:g}", []).append(
-                float(M.psnr(pred, hr)))
-            acc.setdefault(f"test_ssim_x{s:g}", []).append(
-                float(M.ssim(pred, hr)))
-            acc.setdefault(f"test_lr_psnr_x{s:g}", []).append(
-                float(M.lr_psnr(pred, hr, s)))
-    return {k: float(np.mean(v)) for k, v in acc.items()}
+            acc.setdefault(f"test_psnr_x{s:g}", WeightedMean()).update(
+                float(M.psnr(pred, hr)), bs)
+            acc.setdefault(f"test_ssim_x{s:g}", WeightedMean()).update(
+                float(M.ssim(pred, hr)), bs)
+            acc.setdefault(f"test_lr_psnr_x{s:g}", WeightedMean()).update(
+                float(M.lr_psnr(pred, hr, s)), bs)
+    return {k: wm.compute() for k, wm in acc.items()}
 
 
 def train(cfg: Config, *, max_steps: Optional[int] = None,
@@ -194,9 +254,16 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     if log_fn is None:
         log_fn = print
     mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_space)
-    n_data = mesh.shape["data"]
     d = cfg.data
     train_ds, val_ds = make_datasets(cfg)
+    # multi-host: each process loads a disjoint slice of every global batch
+    # (DDP per-rank DataLoader equivalent, sr_datamodule.py:137-144)
+    num_shards = jax.process_count()
+    shard_index = jax.process_index()
+    if d.batch_size % num_shards:
+        raise ValueError(f"batch_size {d.batch_size} must divide across "
+                         f"{num_shards} processes")
+    host_batch = d.batch_size // num_shards
     steps_per_epoch = max(1, (len(train_ds) * d.trainsets_repeat)
                           // d.batch_size)
     tx = make_optimizer(cfg.model.lr, steps_per_epoch, cfg.model.lr_step,
@@ -205,26 +272,55 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     rng = jax.random.PRNGKey(cfg.seed)
     state = init_state(cfg, tx, rng)
     ckpt = CheckpointManager(cfg.trainer.ckpt_dir)
+    start_epoch = 0
     if cfg.trainer.resume:
         state, meta = CheckpointManager(cfg.trainer.resume).restore(
             "last", target=state)
-        log_fn(f"resumed from {cfg.trainer.resume} @ step {meta['step']}")
+        # resume the data order where the run left off: checkpoints are
+        # written after the val at epoch end, so continue at epoch+1 and
+        # stop at the SAME configured total (the LR schedule keys on the
+        # restored step, so data order and schedule stay aligned)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        # restored arrays are committed to one device; re-place replicated
+        # over the mesh before feeding the sharded step
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        log_fn(f"resumed from {cfg.trainer.resume} @ step {meta['step']}, "
+               f"epoch {start_epoch}")
     step_fn = make_train_step(task, tx, mesh, donate=cfg.trainer.donate)
+
+    # profile_dir: trace `profile_steps` steps, skipping 2 warmup/compile
+    # steps (reference's unused `trainer.profiler` slot, default.yaml:79)
+    profile_state = {"active": False, "stop_at": -1}
+    first_step = int(state.step)
+
+    def maybe_profile(step: int) -> None:
+        if not cfg.trainer.profile_dir:
+            return
+        if (not profile_state["active"] and profile_state["stop_at"] < 0
+                and step >= first_step + 2):
+            jax.profiler.start_trace(cfg.trainer.profile_dir)
+            profile_state["active"] = True
+            profile_state["stop_at"] = step + cfg.trainer.profile_steps
+        elif profile_state["active"] and step >= profile_state["stop_at"]:
+            jax.profiler.stop_trace()
+            profile_state["active"] = False
 
     global_step = int(state.step)
     t0 = time.time()
-    for epoch in range(cfg.trainer.max_epochs):
+    for epoch in range(start_epoch, cfg.trainer.max_epochs):
         if max_steps is not None and global_step >= max_steps:
             break
         losses = []
         for batch in pipeline.train_batches(
-                train_ds, batch_size=d.batch_size, epoch=epoch,
+                train_ds, batch_size=host_batch, epoch=epoch,
                 seed=cfg.seed, repeat=d.trainsets_repeat,
-                num_workers=d.num_workers):
+                num_workers=d.num_workers,
+                shard_index=shard_index, num_shards=num_shards):
             placed = shard_batch({s: (lr, hr) for s, (lr, hr) in
                                   batch.items()}, mesh)
             state, m = step_fn(state, placed)
             global_step += 1
+            maybe_profile(global_step)
             losses.append(m["loss"])
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 logger.log(global_step, {"train_loss": float(m["loss"]),
@@ -233,11 +329,16 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             if max_steps is not None and global_step >= max_steps:
                 break
         if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
-            vm = validate(task, state.params, val_ds, cfg, max_images=4)
+            vm = validate(task, state.params, val_ds, cfg,
+                          max_images=cfg.trainer.limit_val_images)
             vm["train_loss"] = float(jnp.mean(jnp.stack(losses))) if losses \
                 else float("nan")
+            vm["steps_per_s"] = ((global_step - first_step)
+                                 / max(time.time() - t0, 1e-9))
             logger.log(global_step, vm, epoch=epoch)
             ckpt.save(state, step=global_step, val_loss=vm["val_loss"],
-                      config=to_dict(cfg))
+                      config=to_dict(cfg), epoch=epoch)
+    if profile_state["active"]:
+        jax.profiler.stop_trace()
     logger.close()
     return state
