@@ -117,11 +117,15 @@ def test_predict_streaming_sharded_band():
     np.testing.assert_allclose(got, got2, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("arch", ["diinn", "liif", "metasr"])
 @pytest.mark.parametrize("size", [(64, 63), (41, 53)])
-def test_query_sharded_decode_non_divisible_sizes(size):
-    """W_out not divisible by the space axis -> explicit stripe decode."""
+def test_query_sharded_decode_non_divisible_sizes(size, arch):
+    """W_out not divisible by the space axis -> explicit stripe decode,
+    for every model family (the benchmark x3.14 scales on arbitrary images
+    hit exactly this case)."""
+    from tpu_diinn.nn.registry import make_net
     mesh = make_mesh(1, 8)
-    net = DIINN(mode=3, encoder_spec="rdn-tiny", hidden_dims=(32, 32))
+    net = make_net(arch, encoder_spec="rdn-tiny", hidden_dims=(32, 32))
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
     params = net.init(jax.random.PRNGKey(1), x, (32, 32))
     want = net.apply(params, x, size)

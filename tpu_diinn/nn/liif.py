@@ -95,38 +95,17 @@ class LIIF(nn.Module):
                           dtype=np.float32)  # rel_cell (liif.py:107-110)
 
         def decode_cols(col_lo: int, col_hi: int) -> Array:
-            w_c = col_hi - col_lo
-            preds, areas = [], []
+            per_corner = []
             for (vy, vx) in corners:
                 iy, ry = _corner_axis_indices(h_in, h_out, vy,
                                               self.local_ensemble)
                 ix, rx = _corner_axis_indices(w_in, w_out, vx,
                                               self.local_ensemble)
-                ix, rx = ix[col_lo:col_hi], rx[col_lo:col_hi]
-                q = z[:, jnp.asarray(iy)][:, :, jnp.asarray(ix)]
-                rel = jnp.broadcast_to(
-                    jnp.stack(
-                        [jnp.broadcast_to(jnp.asarray(ry)[:, None],
-                                          (h_out, w_c)),
-                         jnp.broadcast_to(jnp.asarray(rx)[None, :],
-                                          (h_out, w_c))], axis=-1)[None],
-                    (b, h_out, w_c, 2)).astype(q.dtype)
-                y = q + self.imnet_rel(rel)
-                if self.cell_decode:
-                    y = y + self.imnet_cell(jnp.broadcast_to(
-                        jnp.asarray(cell), (b, h_out, w_c, 2)).astype(q.dtype))
-                y = nn.relu(y)
-                for d in self.imnet_tail:
-                    y = nn.relu(d(y))
-                preds.append(self.imnet_out(y))
-                area = jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9
-                areas.append(area)
-            if self.local_ensemble:
-                # diagonal area swap (liif.py:120-127)
-                areas = [areas[3], areas[2], areas[1], areas[0]]
-            tot = sum(areas)
-            return sum(p * (a / tot)[..., None]
-                       for p, a in zip(preds, areas))
+                per_corner.append((jnp.asarray(iy), jnp.asarray(ry),
+                                   jnp.asarray(ix[col_lo:col_hi]),
+                                   jnp.asarray(rx[col_lo:col_hi])))
+            return self._blend(z, per_corner, cell, b,
+                               (h_out, col_hi - col_lo))
 
         if bsize is None:
             return decode_cols(0, w_out)
@@ -134,6 +113,70 @@ class LIIF(nn.Module):
         outs = [decode_cols(lo, min(lo + chunk, w_out))
                 for lo in range(0, w_out, chunk)]
         return jnp.concatenate(outs, axis=2)
+
+    def _blend(self, z: Array, per_corner, cell, b: int,
+               shape: Tuple[int, int]) -> Array:
+        """Corner predictions + diagonal-area-swap blend (liif.py:94-127)
+        from per-corner (row_idx, row_rel, col_idx, col_rel) arrays — static
+        or traced, so both chunked eval and stripe sharding reuse it."""
+        h_c, w_c = shape
+        preds, areas = [], []
+        for iy, ry, ix, rx in per_corner:
+            q = jnp.take(z[:, iy], ix, axis=2)
+            rel = jnp.broadcast_to(
+                jnp.stack(
+                    [jnp.broadcast_to(ry[:, None], (h_c, w_c)),
+                     jnp.broadcast_to(rx[None, :], (h_c, w_c))],
+                    axis=-1)[None],
+                (b, h_c, w_c, 2)).astype(q.dtype)
+            y = q + self.imnet_rel(rel)
+            if self.cell_decode:
+                y = y + self.imnet_cell(jnp.broadcast_to(
+                    jnp.asarray(cell), (b, h_c, w_c, 2)).astype(q.dtype))
+            y = nn.relu(y)
+            for d in self.imnet_tail:
+                y = nn.relu(d(y))
+            preds.append(self.imnet_out(y))
+            areas.append(jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9)
+        if self.local_ensemble:
+            # diagonal area swap (liif.py:120-127)
+            areas = [areas[3], areas[2], areas[1], areas[0]]
+        tot = sum(areas)
+        return sum(p * (a / tot)[..., None] for p, a in zip(preds, areas))
+
+    def encode(self, x: Array) -> Array:
+        return self.encoder(x)
+
+    def decode_stripe(self, feat: Array, size: Tuple[int, int],
+                      col_start: Array, stripe_w: int) -> Array:
+        """Decode a ``stripe_w``-wide column stripe at *traced* offset
+        ``col_start`` (clamped; overhang repeats the last column) — the SPMD
+        unit for query-grid sharding at non-divisible widths
+        (parallel/sharding.decode_sharded)."""
+        import jax
+        b, h_in, w_in, _ = feat.shape
+        h_out, w_out = size
+        z = self.imnet_feat(feat)
+        corners = [(-1, -1), (-1, 1), (1, -1), (1, 1)] \
+            if self.local_ensemble else [(0, 0)]
+        cell = np.asarray([2.0 * h_in / h_out, 2.0 * w_in / w_out],
+                          dtype=np.float32)
+        pad = stripe_w
+        per_corner = []
+        for (vy, vx) in corners:
+            iy, ry = _corner_axis_indices(h_in, h_out, vy,
+                                          self.local_ensemble)
+            ix, rx = _corner_axis_indices(w_in, w_out, vx,
+                                          self.local_ensemble)
+            ix_p = jnp.asarray(np.concatenate(
+                [ix, np.full(pad, ix[-1], ix.dtype)]))
+            rx_p = jnp.asarray(np.concatenate(
+                [rx, np.full(pad, rx[-1], rx.dtype)]))
+            per_corner.append(
+                (jnp.asarray(iy), jnp.asarray(ry),
+                 jax.lax.dynamic_slice(ix_p, (col_start,), (stripe_w,)),
+                 jax.lax.dynamic_slice(rx_p, (col_start,), (stripe_w,))))
+        return self._blend(z, per_corner, cell, b, (h_out, stripe_w))
 
     def __call__(self, x: Array, size: Tuple[int, int],
                  bsize: Optional[int] = None) -> Array:

@@ -66,9 +66,6 @@ class MetaSR(nn.Module):
         b, h_in, w_in, c = feat.shape
         assert c == self.feat_dim, (c, self.feat_dim)
         h_out, w_out = size
-        c9 = c * 9
-        fc1 = self.hyper_fc1
-
         unfolded = unfold3x3(feat)  # (B, H_in, W_in, C*9)
         iy, ry = _axis_lookup(h_in, h_out)
         ix_all, rx_all = _axis_lookup(w_in, w_out)
@@ -76,17 +73,10 @@ class MetaSR(nn.Module):
         r_rev = np.float32((2.0 / h_out) * h_in / 2.0)
 
         def decode_cols(col_lo: int, col_hi: int) -> Array:
-            w_c = col_hi - col_lo
-            ix, rx = ix_all[col_lo:col_hi], rx_all[col_lo:col_hi]
-            q_feat = unfolded[:, jnp.asarray(iy)][:, :, jnp.asarray(ix)]
-            inp = jnp.stack(
-                [jnp.broadcast_to(jnp.asarray(ry)[:, None], (h_out, w_c)),
-                 jnp.broadcast_to(jnp.asarray(rx)[None, :], (h_out, w_c)),
-                 jnp.full((h_out, w_c), r_rev)], axis=-1)
-            inp = jnp.broadcast_to(inp[None], (b, h_out, w_c, 3))
-            w = fc1(nn.relu(self.hyper_fc0(inp.astype(q_feat.dtype))))
-            w = w.reshape(b, h_out, w_c, c9, 3)
-            return jnp.einsum("...c,...co->...o", q_feat, w)
+            return self._pred(unfolded, jnp.asarray(iy), jnp.asarray(ry),
+                              jnp.asarray(ix_all[col_lo:col_hi]),
+                              jnp.asarray(rx_all[col_lo:col_hi]), r_rev, b,
+                              (h_out, col_hi - col_lo))
 
         if bsize is None:
             return decode_cols(0, w_out)
@@ -94,6 +84,47 @@ class MetaSR(nn.Module):
         outs = [decode_cols(lo, min(lo + chunk, w_out))
                 for lo in range(0, w_out, chunk)]
         return jnp.concatenate(outs, axis=2)
+
+    def _pred(self, unfolded: Array, iy, ry, ix, rx, r_rev, b: int,
+              shape: Tuple[int, int]) -> Array:
+        """Hypernet projection over a column window given (static or traced)
+        per-axis index/rel arrays (metasr.py:80-103)."""
+        h_c, w_c = shape
+        c9 = self.feat_dim * 9
+        q_feat = jnp.take(unfolded[:, iy], ix, axis=2)
+        inp = jnp.stack(
+            [jnp.broadcast_to(ry[:, None], (h_c, w_c)),
+             jnp.broadcast_to(rx[None, :], (h_c, w_c)),
+             jnp.full((h_c, w_c), r_rev)], axis=-1)
+        inp = jnp.broadcast_to(inp[None], (b, h_c, w_c, 3))
+        w = self.hyper_fc1(nn.relu(self.hyper_fc0(inp.astype(q_feat.dtype))))
+        w = w.reshape(b, h_c, w_c, c9, 3)
+        return jnp.einsum("...c,...co->...o", q_feat, w)
+
+    def encode(self, x: Array) -> Array:
+        return self.encoder(x)
+
+    def decode_stripe(self, feat: Array, size: Tuple[int, int],
+                      col_start: Array, stripe_w: int) -> Array:
+        """Stripe decode at a *traced* column offset (clamped; overhang
+        repeats the last column) — SPMD unit for query-grid sharding at
+        non-divisible widths (parallel/sharding.decode_sharded)."""
+        import jax
+        b, h_in, w_in, _ = feat.shape
+        h_out, w_out = size
+        unfolded = unfold3x3(feat)
+        iy, ry = _axis_lookup(h_in, h_out)
+        ix_all, rx_all = _axis_lookup(w_in, w_out)
+        r_rev = np.float32((2.0 / h_out) * h_in / 2.0)
+        pad = stripe_w
+        ix_p = jnp.asarray(np.concatenate(
+            [ix_all, np.full(pad, ix_all[-1], ix_all.dtype)]))
+        rx_p = jnp.asarray(np.concatenate(
+            [rx_all, np.full(pad, rx_all[-1], rx_all.dtype)]))
+        ix = jax.lax.dynamic_slice(ix_p, (col_start,), (stripe_w,))
+        rx = jax.lax.dynamic_slice(rx_p, (col_start,), (stripe_w,))
+        return self._pred(unfolded, jnp.asarray(iy), jnp.asarray(ry), ix, rx,
+                          r_rev, b, (h_out, stripe_w))
 
     def __call__(self, x: Array, size: Tuple[int, int],
                  bsize: Optional[int] = None) -> Array:

@@ -54,7 +54,10 @@ def make_net(arch: str, *, mode: int = 3, init_q: bool = False,
             kw["hidden_dims"] = tuple(hidden_dims)
         return DIINN(**kw)
     if arch == "liif":
-        return LIIF(encoder_spec=encoder_spec, dtype=dtype)
+        kw = dict(encoder_spec=encoder_spec, dtype=dtype)
+        if hidden_dims is not None:
+            kw["hidden"] = tuple(hidden_dims)
+        return LIIF(**kw)
     if arch == "metasr":
         return MetaSR(encoder_spec=encoder_spec,
                       feat_dim=encoder_out_dim(encoder_spec), dtype=dtype)

@@ -132,33 +132,66 @@ def decode_sharded(net, params, x: Array, size: Tuple[int, int],
 
         return run(params, x)
 
-    from tpu_diinn.nn.diinn import DIINN, ImplicitDecoder
-    from tpu_diinn.nn.registry import make_encoder
-    if not isinstance(net, DIINN):
-        raise NotImplementedError(
-            f"W_out={w_out} not divisible by space={n_space}; stripe "
-            f"decode only implemented for DIINN, got {type(net).__name__}")
     stripe_w = -(-w_out // n_space)
-    enc = make_encoder(net.encoder_spec, dtype=net.dtype)
-    dec = ImplicitDecoder(in_channels=enc.out_dim,
-                          hidden_dims=net.hidden_dims, mode=net.mode,
-                          init_q=net.init_q, exact_sin=net.exact_sin,
-                          dtype=net.dtype)
-    p = params["params"] if "params" in params else params
+    encode_fn, stripe_fn = _stripe_fns(net, size, stripe_w)
 
-    def local(dec_params, feat):
+    def local(params, feat):
         start = jax.lax.axis_index("space") * stripe_w
-        return dec.apply({"params": dec_params}, feat, size, start,
-                         stripe_w, method=ImplicitDecoder.decode_stripe)
+        return stripe_fn(params, feat, start)
 
     @jax.jit
     def run(params, x):
-        feat = enc.apply({"params": p["encoder"]}, x)
+        feat = encode_fn(params, x)
         out = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(), P()),
             out_specs=P(None, None, "space", None),
-            check_vma=False)(p["decoder"], feat)
+            check_vma=False)(params, feat)
         return out[:, :, :w_out]
 
     return run(params, x)
+
+
+def _stripe_fns(net, size: Tuple[int, int], stripe_w: int):
+    """(encode, stripe-decode) closures for shard_map stripe sharding.
+
+    Every model family exposes a traced-offset ``decode_stripe``
+    (nn/diinn.py, nn/liif.py, nn/metasr.py); DIINN splits encoder/decoder
+    params, LIIF/MetaSR decode from their own param tree."""
+    from tpu_diinn.nn.diinn import DIINN, ImplicitDecoder
+    from tpu_diinn.nn.liif import LIIF
+    from tpu_diinn.nn.metasr import MetaSR
+    from tpu_diinn.nn.registry import make_encoder
+
+    if isinstance(net, DIINN):
+        enc = make_encoder(net.encoder_spec, dtype=net.dtype)
+        dec = ImplicitDecoder(in_channels=enc.out_dim,
+                              hidden_dims=net.hidden_dims, mode=net.mode,
+                              init_q=net.init_q, exact_sin=net.exact_sin,
+                              dtype=net.dtype)
+
+        def encode(params, x):
+            p = params["params"] if "params" in params else params
+            return enc.apply({"params": p["encoder"]}, x)
+
+        def stripe(params, feat, start):
+            p = params["params"] if "params" in params else params
+            return dec.apply({"params": p["decoder"]}, feat, size, start,
+                             stripe_w, method=ImplicitDecoder.decode_stripe)
+
+        return encode, stripe
+
+    if isinstance(net, (LIIF, MetaSR)):
+        cls = type(net)
+
+        def encode(params, x):
+            return net.apply(params, x, method=cls.encode)
+
+        def stripe(params, feat, start):
+            return net.apply(params, feat, size, start, stripe_w,
+                             method=cls.decode_stripe)
+
+        return encode, stripe
+
+    raise NotImplementedError(
+        f"stripe decode not implemented for {type(net).__name__}")
