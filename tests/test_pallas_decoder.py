@@ -101,3 +101,76 @@ def test_fused_backward_matches_xla():
     np.testing.assert_allclose(np.asarray(dkp_f["bl"]),
                                np.asarray(p["last_dense"]["dense"]["bias"]),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Module-level fused eval paths (decode_window / chunked eval / stripe).
+# use_fused=True on the CPU backend auto-selects interpreter mode, so these
+# exercise the exact module plumbing that runs compiled on TPU.
+# ---------------------------------------------------------------------------
+
+def _dec_pair(in_ch=8, hidden=32, n_layers=3):
+    kw = dict(in_channels=in_ch, hidden_dims=(hidden,) * n_layers,
+              mode=3, init_q=False)
+    return (ImplicitDecoder(use_fused=True, **kw),
+            ImplicitDecoder(use_fused=False, **kw))
+
+
+def _feat_params(plain, in_ch=8, h_in=6, w_in=8, size=(16, 24), seed=0):
+    key = jax.random.PRNGKey(seed)
+    feat = jax.random.normal(key, (2, h_in, w_in, in_ch))
+    params = plain.init(key, feat, size)
+    return feat, params
+
+
+@pytest.mark.parametrize("win", [
+    (0, 16, 0, 24),      # full grid
+    (3, 11, 5, 17),      # interior window
+    (0, 16, 18, 24),     # right-edge chunk
+])
+def test_fused_decode_window_matches_xla(win):
+    fused, plain = _dec_pair()
+    feat, params = _feat_params(plain)
+    args = (feat, (16, 24)) + win
+    got = fused.apply(params, *args, method=ImplicitDecoder.decode_window)
+    want = plain.apply(params, *args, method=ImplicitDecoder.decode_window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_chunked_eval_matches_plain_full():
+    fused, plain = _dec_pair()
+    feat, params = _feat_params(plain)
+    got = fused.apply(params, feat, (16, 24), 100)   # bsize=100 -> 6-col chunks
+    want = plain.apply(params, feat, (16, 24))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_decode_stripe_matches_xla():
+    fused, plain = _dec_pair()
+    feat, params = _feat_params(plain)
+    for start in (0, 5, 20):   # 20 + 8 overhangs W_out=24 -> clamped cols
+        got = fused.apply(params, feat, (16, 24), jnp.int32(start), 8,
+                          method=ImplicitDecoder.decode_stripe)
+        want = plain.apply(params, feat, (16, 24), jnp.int32(start), 8,
+                           method=ImplicitDecoder.decode_stripe)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ok_vmem_boundary():
+    """The VMEM size gates of _fused_ok at their exact boundaries."""
+    dec = ImplicitDecoder(in_channels=64, hidden_dims=(256,) * 4,
+                          use_fused=True)
+    # z gate: h_in*w_in * (4*256 ch) * 2 B <= 24 MiB -> 12288 px boundary
+    assert dec._fused_ok((110, 110), (16, 128))          # 12100 px
+    assert not dec._fused_ok((111, 111), (16, 128))      # 12321 px
+    # tile gate: 16 * w_out * (1024 + 6*256) * 4 B <= 48 MiB -> w_out 307
+    assert dec._fused_ok((24, 24), (96, 307))
+    assert not dec._fused_ok((24, 24), (96, 308))
+    # mode gates
+    assert not ImplicitDecoder(in_channels=64, mode=2,
+                               use_fused=True)._fused_ok((8, 8), (16, 16))
+    assert not ImplicitDecoder(in_channels=64, init_q=True,
+                               use_fused=True)._fused_ok((8, 8), (16, 16))

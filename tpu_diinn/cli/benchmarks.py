@@ -47,6 +47,7 @@ def main(argv=None):
         params = state["params"] if isinstance(state, dict) else state.params
 
     results = {}
+    jit_cache = loop.EvalJit(task)
     for name in args.testsets:
         ds = SRDatasetDownsample(root=args.root, name="benchmark", split=name,
                                  scales=args.scales, patch_size=0,
@@ -55,7 +56,8 @@ def main(argv=None):
             print(f"[skip] {name}: no images under {args.root}")
             continue
         res = loop.test_metrics(task, params, ds, cfg,
-                                max_images=args.max_images)
+                                max_images=args.max_images,
+                                jit_cache=jit_cache)
         results[name] = res
         print(name, json.dumps(res, indent=2))
     print(json.dumps(results))

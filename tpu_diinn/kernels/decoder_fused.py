@@ -377,8 +377,16 @@ def _decode_bwd(interpret, res, g):
 _decode_core.defvjp(_decode_fwd, _decode_bwd)
 
 
+def _auto_interpret(interpret) -> bool:
+    """interpret=None resolves by backend: compiled on TPU, interpreter on
+    CPU — so module-level fused paths are testable on the CPU mesh."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def decode_fused(z: Array, syn: Array, out_size: Tuple[int, int], params,
-                 *, interpret: bool = False) -> Array:
+                 *, interpret=None) -> Array:
     """Fused decode of stacked LR features to RGB.
 
     z: (B, H_in, W_in, L*hidden) stacked per-layer content features
@@ -394,13 +402,30 @@ def decode_fused(z: Array, syn: Array, out_size: Tuple[int, int], params,
                        dtype=jnp.bfloat16)
     scol = jnp.asarray(grids.nearest_exact_onehot(w_in, w_out),
                        dtype=jnp.bfloat16)
+    return decode_fused_window(z, syn, params, srow, scol,
+                               interpret=interpret)
+
+
+def decode_fused_window(z: Array, syn_win: Array, params,
+                        srow: Array, scol: Array, *,
+                        interpret=None) -> Array:
+    """Fused decode of an arbitrary HR window (the eval/streaming unit).
+
+    The kernel's gathers are one-hot matmuls, so a window decode is the
+    same kernel with *sliced* gather matrices: ``srow`` (H_win, H_in) /
+    ``scol`` (W_win, W_in) select the window's output rows/columns, and
+    ``syn_win`` (H_win, W_win, 3) is the window's synthesis grid. Used by
+    ``ImplicitDecoder.decode_window`` (chunked eval, reference
+    ``diinn.py:149-160``; streaming bands; sharded stripes).
+    """
     return _decode_core(
-        syn.astype(jnp.float32), z, srow, scol,
+        syn_win.astype(jnp.float32), z,
+        srow.astype(jnp.bfloat16), scol.astype(jnp.bfloat16),
         (params["w0"], params["b0"]),
         (params["wkq"], params["bkq"]),
         (params["wq"], params["bq"]),
         (params["wl"], params["bl"]),
-        interpret)
+        _auto_interpret(interpret))
 
 
 def pack_params(decoder_params: dict, n_layers: int = 4,

@@ -290,9 +290,22 @@ class ImplicitDecoder(nn.Module):
                                         (h_out, pad, 3))], axis=1)
         rows = jnp.asarray(grids.nearest_exact_indices(h_in, h_out))
         cols = jax.lax.dynamic_slice(cols_pad, (col_start,), (stripe_w,))
-        syn = jax.lax.dynamic_slice(
+        syn_w = jax.lax.dynamic_slice(
             syn_pad, (0, col_start, 0), (h_out, stripe_w, 3))
-        syn = jnp.broadcast_to(syn[None], (b, h_out, stripe_w, 3))
+        if self._fused_ok((h_in, w_in), (h_out, stripe_w)) \
+                and not self.is_initializing():
+            # Fused stripe: the traced column offset becomes a traced
+            # one-hot gather matrix; under shard_map the kernel runs on
+            # each device's local stripe (pallas-in-SPMD the clean way).
+            from tpu_diinn.kernels.decoder_fused import decode_fused_window
+            z = jnp.concatenate(list(zs), axis=-1)
+            srow = jnp.asarray(grids.nearest_exact_onehot(h_in, h_out))
+            scol = jax.nn.one_hot(cols, w_in, dtype=jnp.float32)
+            out = decode_fused_window(z, syn_w.astype(jnp.float32),
+                                      self._fused_params(),
+                                      jnp.asarray(srow), scol)
+            return out.astype(z.dtype)
+        syn = jnp.broadcast_to(syn_w[None], (b, h_out, stripe_w, 3))
         gath = tuple(None if z is None else
                      jnp.take(z[:, rows], cols, axis=2) for z in zs)
         if self.init_q:
@@ -315,6 +328,19 @@ class ImplicitDecoder(nn.Module):
         zs = _zs if _zs is not None else self.lr_features(feat)
         syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
                                         dtype=feat.dtype)
+        if self._fused_ok((h_in, w_in), (row_hi - row_lo, col_hi - col_lo)) \
+                and not self.is_initializing():
+            # The fused kernel's gathers are one-hot matmuls, so a window
+            # decode is the same kernel with sliced gather matrices — the
+            # chunked-eval / streaming / out-of-core paths all hit it.
+            from tpu_diinn.kernels.decoder_fused import decode_fused_window
+            z = jnp.concatenate(list(zs), axis=-1)
+            srow = grids.nearest_exact_onehot(h_in, h_out)[row_lo:row_hi]
+            scol = grids.nearest_exact_onehot(w_in, w_out)[col_lo:col_hi]
+            out = decode_fused_window(
+                z, syn_full[row_lo:row_hi, col_lo:col_hi].astype(jnp.float32),
+                self._fused_params(), jnp.asarray(srow), jnp.asarray(scol))
+            return out.astype(z.dtype)
         rows = jnp.asarray(
             grids.nearest_exact_indices(h_in, h_out)[row_lo:row_hi])
         cols = jnp.asarray(

@@ -196,26 +196,74 @@ class WeightedMean:
         return self.num / self.den if self.den else float("nan")
 
 
+class EvalJit:
+    """Per-(scale, image-shape) jitted eval functions, cached for a run.
+
+    Eval must NOT run op-by-op: on the tunneled TPU platform every eager op
+    is a remote dispatch, making an un-jitted full-image chunked decode
+    minutes per image. Each distinct (scale, lr shape, hr shape) gets one
+    jitted program (loss/PSNR for val; PSNR/SSIM/LR-PSNR for test) — on
+    fixed-size val sets that is one compile per scale, reused every epoch,
+    and it lands in the persistent XLA compile cache across runs."""
+
+    def __init__(self, task: SRTask):
+        self.task = task
+        self._cache: Dict[Any, Any] = {}
+
+    def val_fn(self, scale, lr_shape, hr_shape):
+        key = ("val", scale, tuple(lr_shape), tuple(hr_shape))
+        if key not in self._cache:
+            task = self.task
+
+            def f(params, lr, hr):
+                loss, preds = task.loss_and_preds(
+                    params, {scale: (lr, hr)}, bsize=task.eval_bsize)
+                p = M.calc_psnr(preds[scale], hr, dataset="div2k",
+                                scale=scale)
+                return loss, p
+
+            self._cache[key] = jax.jit(f)
+        return self._cache[key]
+
+    def test_fn(self, scale, lr_shape, hr_shape):
+        key = ("test", scale, tuple(lr_shape), tuple(hr_shape))
+        if key not in self._cache:
+            task = self.task
+            size = (hr_shape[1], hr_shape[2])
+
+            def f(params, lr, hr):
+                pred = task.predict(params, lr, size)
+                return (M.psnr(pred, hr), M.ssim(pred, hr),
+                        M.lr_psnr(pred, hr, scale))
+
+            self._cache[key] = jax.jit(f)
+        return self._cache[key]
+
+
 def validate(task: SRTask, params, val_dataset, cfg: Config,
-             max_images: Optional[int] = None) -> Dict[str, float]:
+             max_images: Optional[int] = None,
+             jit_cache: Optional[EvalJit] = None) -> Dict[str, float]:
     """Full-image val loop: loss + div2k-protocol PSNR per scale
     (sr_module.py:143-154). ``max_images=None`` = the full val set,
-    matching the reference's 100-image DIV2K val protocol."""
+    matching the reference's 100-image DIV2K val protocol. Per-scale
+    losses are averaged per image, matching the reference's multi-scale
+    ``step`` loss (sr_module.py:113-125)."""
+    ev = jit_cache or EvalJit(task)
     losses, psnrs = WeightedMean(), {}
     n = len(val_dataset) if max_images is None else min(max_images,
                                                         len(val_dataset))
     for _, batch in pipeline.eval_batches(val_dataset, seed=cfg.seed,
                                           indices=range(n)):
-        pure = {s: (jnp.asarray(lr), jnp.asarray(hr))
-                for s, (lr, hr, _name) in batch.items()}
-        bs = next(iter(pure.values()))[0].shape[0]
-        loss, preds = task.loss_and_preds(params, pure,
-                                          bsize=task.eval_bsize)
-        losses.update(float(loss), bs)
-        for s, pred in preds.items():
-            p = float(M.calc_psnr(pred, pure[s][1], dataset="div2k",
-                                  scale=s))
-            psnrs.setdefault(s, WeightedMean()).update(p, bs)
+        img_loss, n_scales = 0.0, 0
+        bs = 1
+        for s, (lr, hr, _name) in batch.items():
+            lr, hr = jnp.asarray(lr), jnp.asarray(hr)
+            bs = lr.shape[0]
+            loss, p = ev.val_fn(s, lr.shape, hr.shape)(params, lr, hr)
+            img_loss += float(loss)
+            n_scales += 1
+            psnrs.setdefault(s, WeightedMean()).update(float(p), bs)
+        losses.update(img_loss / max(n_scales, 1), bs)
     out = {"val_loss": losses.compute()}
     for s, wm in psnrs.items():
         out[f"val_psnr_x{s:g}"] = wm.compute()
@@ -223,9 +271,11 @@ def validate(task: SRTask, params, val_dataset, cfg: Config,
 
 
 def test_metrics(task: SRTask, params, dataset, cfg: Config,
-                 max_images: Optional[int] = None) -> Dict[str, float]:
+                 max_images: Optional[int] = None,
+                 jit_cache: Optional[EvalJit] = None) -> Dict[str, float]:
     """Benchmark test loop: psnr/ssim/lr_psnr per scale
     (sr_module.py:159-180)."""
+    ev = jit_cache or EvalJit(task)
     acc: Dict[str, WeightedMean] = {}
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     for _, batch in pipeline.eval_batches(dataset, seed=cfg.seed,
@@ -233,13 +283,13 @@ def test_metrics(task: SRTask, params, dataset, cfg: Config,
         for s, (lr, hr, _name) in batch.items():
             lr, hr = jnp.asarray(lr), jnp.asarray(hr)
             bs = lr.shape[0]
-            pred = task.predict(params, lr, hr.shape[1:3])
+            p, ss, lp = ev.test_fn(s, lr.shape, hr.shape)(params, lr, hr)
             acc.setdefault(f"test_psnr_x{s:g}", WeightedMean()).update(
-                float(M.psnr(pred, hr)), bs)
+                float(p), bs)
             acc.setdefault(f"test_ssim_x{s:g}", WeightedMean()).update(
-                float(M.ssim(pred, hr)), bs)
+                float(ss), bs)
             acc.setdefault(f"test_lr_psnr_x{s:g}", WeightedMean()).update(
-                float(M.lr_psnr(pred, hr, s)), bs)
+                float(lp), bs)
     return {k: wm.compute() for k, wm in acc.items()}
 
 
@@ -306,6 +356,7 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
             profile_state["active"] = False
 
     global_step = int(state.step)
+    eval_cache = EvalJit(task)
     t0 = time.time()
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         if max_steps is not None and global_step >= max_steps:
@@ -330,7 +381,8 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
                 break
         if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
             vm = validate(task, state.params, val_ds, cfg,
-                          max_images=cfg.trainer.limit_val_images)
+                          max_images=cfg.trainer.limit_val_images,
+                          jit_cache=eval_cache)
             vm["train_loss"] = float(jnp.mean(jnp.stack(losses))) if losses \
                 else float("nan")
             vm["steps_per_s"] = ((global_step - first_step)
