@@ -66,11 +66,21 @@ def main():
     pixels = batch * (patch * scale) ** 2 * iters
     pix_s = pixels / dt
     vs = (pix_s / BENCH_BASELINE_PIX_S) if BENCH_BASELINE_PIX_S else 1.0
+
+    # roofline denominator: exact model FLOPs per step -> MFU vs chip peak
+    from tpu_diinn.train import flops as F
+    fl = F.train_step_flops(batch, patch, [scale])
+    step_t = dt / iters
     print(json.dumps({
         "metric": "decoded_pixels_per_s_per_chip_fwd_bwd_x4",
         "value": round(pix_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(vs, 3),
+        "steps_per_s": round(iters / dt, 2),
+        "model_tflops_per_s": round(fl["total"] / step_t / 1e12, 1),
+        "mfu_bf16": round(F.mfu(fl["total"], step_t), 3),
+        "flops_split": {k: round(v / fl["total"], 3)
+                        for k, v in fl.items() if k != "total"},
     }))
 
 

@@ -7,6 +7,8 @@
 from __future__ import annotations
 
 import argparse
+import faulthandler
+import signal
 
 from tpu_diinn.config.config import load_config
 from tpu_diinn.config.platform import apply_platform_env
@@ -15,6 +17,7 @@ from tpu_diinn.train import loop
 
 
 def main(argv=None):
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
     parser = argparse.ArgumentParser(description="tpu_diinn trainer")
     parser.add_argument("-c", "--config", default=None,
                         help="YAML config path")

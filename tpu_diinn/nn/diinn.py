@@ -139,20 +139,21 @@ class ImplicitDecoder(nn.Module):
               and len(set(self.hidden_dims)) == 1)
         if not ok:
             return False
+        hid = self.hidden_dims[0]
+        ch_all = len(self.hidden_dims) * hid
         if self.use_fused is None:
             import jax
             if jax.default_backend() not in ("tpu", "axon"):
                 return False
+            if ch_all % 128:
+                # Mosaic can only relayout the kernel's (H_in, W_in, C_all)
+                # -> (H_in, W_in*C_all) collapse when the minor dim is a
+                # multiple of the 128-wide lane registers; narrower configs
+                # auto-route to the XLA path. (Explicit use_fused=True skips
+                # this gate: CPU interpret-mode tests run any width.)
+                return False
         h_in, w_in = in_size
         h_out, w_out = size
-        hid = self.hidden_dims[0]
-        ch_all = len(self.hidden_dims) * hid
-        if ch_all % 128:
-            # Mosaic can only relayout the kernel's (H_in, W_in, C_all) ->
-            # (H_in, W_in*C_all) collapse when the minor dim is a multiple
-            # of the 128-wide lane registers; narrower configs (e.g. test
-            # models with hidden<=32) take the XLA path.
-            return False
         z_bytes = h_in * w_in * ch_all * 2          # bf16 LR stack, in VMEM
         tile_bytes = 16 * w_out * (ch_all + 6 * hid) * 4  # fp32 tile chain
         return z_bytes <= 24 * 1024 * 1024 and tile_bytes <= 48 * 1024 * 1024

@@ -321,6 +321,12 @@ def train(cfg: Config, *, max_steps: Optional[int] = None,
     task = build_task(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     state = init_state(cfg, tx, rng)
+    # commit the fresh state to the mesh (replicated) BEFORE the first step:
+    # an uncommitted state gives the first call a different arg signature
+    # than the mesh-tagged state the step returns, so step 2 would silently
+    # retrace and recompile the whole train step (minutes on a remote-
+    # compiled TPU) — one signature means exactly one compile
+    state = jax.device_put(state, NamedSharding(mesh, P()))
     ckpt = CheckpointManager(cfg.trainer.ckpt_dir)
     start_epoch = 0
     if cfg.trainer.resume:
