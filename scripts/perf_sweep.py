@@ -36,6 +36,19 @@ def time_fn(fn, args, iters, sync):
     return (time.perf_counter() - t0) / iters
 
 
+def time_step(step, state, batch, iters):
+    """Time a donated train step (threads state like the real loop)."""
+    state, m = step(state, batch)
+    float(m["loss"])
+    state, m = step(state, batch)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    float(m["loss"])  # host fetch = the only reliable tunnel sync
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16,32")
@@ -76,9 +89,8 @@ def main():
                         jnp.float32),
             jnp.asarray(rng.random((batch, patch * scale, patch * scale, 3)),
                         jnp.float32))}
-        step = loop.make_train_step(task, tx, mesh=None, donate=False)
-        dt = time_fn(step, (state, b), args.iters,
-                     lambda o: float(o[1]["loss"]))
+        step = loop.make_train_step(task, tx, mesh=None)
+        dt = time_step(step, state, b, args.iters)
         fl = F.train_step_flops(batch, patch, [scale])
         row = {
             "kind": "train_step", "batch": batch,
