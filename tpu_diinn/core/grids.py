@@ -21,6 +21,7 @@ jnp arrays.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -103,9 +104,14 @@ def upsample_nearest_exact_mm(x: Array, size: tuple[int, int],
     ct = dtype or x.dtype
     sh = jnp.asarray(nearest_exact_onehot(h_in, h_out), dtype=ct)
     sw = jnp.asarray(nearest_exact_onehot(w_in, w_out), dtype=ct)
+    # HIGHEST keeps this a true gather on TPU: default matmul precision
+    # truncates fp32 operands to bf16, which would silently quantize the
+    # selected values (the one-hot weights themselves are exact either way)
+    prec = jax.lax.Precision.HIGHEST
     y = jnp.einsum("oh,bhwc->bowc", sh, x.astype(ct),
-                   preferred_element_type=ct)
-    return jnp.einsum("pw,bowc->bopc", sw, y, preferred_element_type=ct)
+                   preferred_element_type=ct, precision=prec)
+    return jnp.einsum("pw,bowc->bopc", sw, y, preferred_element_type=ct,
+                      precision=prec)
 
 
 def rel_coord_grid(in_size: tuple[int, int], out_size: tuple[int, int],

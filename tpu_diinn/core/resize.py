@@ -29,6 +29,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -117,8 +118,12 @@ def resize(x: Array, size: tuple[int, int], *, kernel: str = "torch",
                      dtype=jnp.float32)
     ww = jnp.asarray(resize_matrix(w_in, w_out, kernel, antialias),
                      dtype=jnp.float32)
-    y = jnp.einsum("oh,...hwc->...owc", wh, x.astype(jnp.float32))
-    y = jnp.einsum("ow,...hwc->...hoc", ww, y)
+    # HIGHEST: TPU matmuls default to bf16-truncated inputs; resize feeds
+    # metrics (LR-PSNR) and data-prep parity paths, which need true fp32
+    y = jnp.einsum("oh,...hwc->...owc", wh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ow,...hwc->...hoc", ww, y,
+                   precision=jax.lax.Precision.HIGHEST)
     return y.astype(out_dtype)
 
 

@@ -74,12 +74,15 @@ def _gaussian_filter(x: Array, size: int, sigma: float) -> Array:
     # depthwise conv via feature_group_count
     kh = jnp.tile(k[:, None, None, None], (1, 1, 1, c))
     kw = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
+    # HIGHEST precision is load-bearing on TPU: the default bf16 conv
+    # truncation makes the SSIM variance f(x^2) - mu^2 cancel
+    # catastrophically (negative variances -> SSIM > 1 on real images)
     x = jax.lax.conv_general_dilated(
         x, kh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(
         x, kw, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
     return x
 
 
