@@ -29,6 +29,7 @@ class ModelConfig:
     eval_bsize: int = 30000         # sr_module.py:85
     dtype: str = "float32"          # compute dtype: float32 | bfloat16
     use_fused: Optional[bool] = None  # fused Pallas decode (None = auto/TPU)
+    lane_pack: Optional[bool] = None  # packed encoder convs (None = auto/TPU)
 
 
 @dataclass

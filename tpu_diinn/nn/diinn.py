@@ -379,6 +379,7 @@ class DIINN(nn.Module):
     hidden_dims: Sequence[int] = (256, 256, 256, 256)
     exact_sin: bool = False
     use_fused: Optional[bool] = None
+    lane_pack: Optional[bool] = None
     dtype: Any = None
 
     @nn.compact
@@ -386,7 +387,7 @@ class DIINN(nn.Module):
                  bsize: Optional[int] = None) -> Array:
         from tpu_diinn.nn.registry import make_encoder
         feat = make_encoder(self.encoder_spec, dtype=self.dtype,
-                            name="encoder")(x)
+                            lane_pack=self.lane_pack, name="encoder")(x)
         dec = ImplicitDecoder(in_channels=feat.shape[-1],
                               hidden_dims=self.hidden_dims, mode=self.mode,
                               init_q=self.init_q, exact_sin=self.exact_sin,

@@ -24,6 +24,7 @@ class EDSRBaseline(nn.Module):
     n_resblocks: int = 16
     n_feats: int = 64
     halo_axis: Any = None
+    lane_pack: bool = False
     dtype: Any = None
 
     @property
@@ -32,13 +33,15 @@ class EDSRBaseline(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        y = Conv(self.n_feats, 3, halo_axis=self.halo_axis, dtype=self.dtype,
-                 name="head")(x)
+        y = Conv(self.n_feats, 3, halo_axis=self.halo_axis,
+                 lane_pack=self.lane_pack, dtype=self.dtype, name="head")(x)
         r = y
         for i in range(self.n_resblocks):
             r = ResBlock(self.n_feats, 3, halo_axis=self.halo_axis,
+                         lane_pack=self.lane_pack,
                          dtype=self.dtype, name=f"res{i}")(r)
-        r = Conv(self.n_feats, 3, halo_axis=self.halo_axis, dtype=self.dtype,
+        r = Conv(self.n_feats, 3, halo_axis=self.halo_axis,
+                 lane_pack=self.lane_pack, dtype=self.dtype,
                  name="body_tail")(r)
         return y + r
 

@@ -49,6 +49,55 @@ def torch_bias_init_for(fan_in: int) -> Callable:
     return init
 
 
+class _LanePackedConv3x3(nn.Module):
+    """3x3 SAME conv computed as a 3x4 stride-(1,2) conv with doubled output
+    channels (each matmul row yields TWO adjacent output columns).
+
+    Motivation (PERF.md): the v5e MXU is a 128-lane systolic array; a conv
+    with cout=64 leaves half the output lanes idle. Packing column pairs
+    doubles N to a full lane set at the cost of K growing 9*cin -> 12*cin,
+    a theoretical 1.5x on lane-limited convs. The parameter tree (HWIO
+    ``kernel`` (3,3,cin,cout) + ``bias``) is identical to ``nn.Conv``'s, so
+    checkpoints/fixtures are interchangeable with the plain path; the packed
+    kernel is built by pad+concat inside the forward (differentiable, and
+    constant-folded by XLA since it only involves the weights).
+    """
+    features: int
+    h_padding: Any = ((1, 1),)  # H pad; W handled by the packing
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", torch_bias_init_for(9 * cin),
+                          (self.features,)) if self.use_bias else None
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        b, h, w, _ = x.shape
+        if w % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        # block d of the packed kernel holds `kernel` at tap columns d..d+2:
+        # output col j of the strided conv covers input cols 2j-1..2j+2, so
+        # block 0 reproduces the SAME window of col 2j, block 1 of col 2j+1.
+        kp = jnp.concatenate([
+            jnp.pad(kernel, ((0, 0), (0, 1), (0, 0), (0, 0))),
+            jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            x, kp, (1, 2), tuple(self.h_padding) + ((1, 2),),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # (B,H',W/2,2*cout) -> (B,H',W,cout): row-major regroup is exactly
+        # the column interleave.
+        y = y.reshape(b, y.shape[1], y.shape[2] * 2, self.features)
+        if w % 2:
+            y = y[:, :, :w, :]
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class Conv(nn.Module):
     """Same-padded 2-D conv (NHWC) with torch-default init.
 
@@ -58,11 +107,17 @@ class Conv(nn.Module):
     SAME conv, including zero padding at the global boundary. This is the
     exact per-layer halo scheme for spatially-sharded encoders
     (SURVEY.md §2.3/§7.3).
+
+    ``lane_pack``: compute a 3x3 conv via the column-pair packed form
+    (see ``_LanePackedConv3x3``) — same parameters, same function, full
+    MXU lane utilization when ``features`` < 128. No-op for other kernel
+    sizes.
     """
     features: int
     kernel_size: int = 3
     use_bias: bool = True
     halo_axis: Any = None
+    lane_pack: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -76,6 +131,11 @@ class Conv(nn.Module):
             from tpu_diinn.parallel.sharding import halo_exchange
             x = halo_exchange(x, pad, self.halo_axis, spatial_axis=1)
             padding = [(0, 0), (pad, pad)]  # VALID on H, SAME on W
+        if self.lane_pack and k == 3 and self.features < 128:
+            h_pad = (padding[0],) if isinstance(padding, list) else ((1, 1),)
+            return _LanePackedConv3x3(
+                features=self.features, h_padding=h_pad,
+                use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -142,15 +202,16 @@ class ResBlock(nn.Module):
     kernel_size: int = 3
     res_scale: float = 1.0
     halo_axis: Any = None
+    lane_pack: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         y = Conv(self.n_feats, self.kernel_size, halo_axis=self.halo_axis,
-                 dtype=self.dtype, name="conv0")(x)
+                 lane_pack=self.lane_pack, dtype=self.dtype, name="conv0")(x)
         y = nn.relu(y)
         y = Conv(self.n_feats, self.kernel_size, halo_axis=self.halo_axis,
-                 dtype=self.dtype, name="conv1")(y)
+                 lane_pack=self.lane_pack, dtype=self.dtype, name="conv1")(y)
         return x + y * self.res_scale
 
 

@@ -58,12 +58,13 @@ class LIIF(nn.Module):
     cell_decode: bool = True
     encoder_spec: str = "rdn"
     hidden: Sequence[int] = (256, 256, 256, 256)
+    lane_pack: Optional[bool] = None
     dtype: Any = None
 
     def setup(self):
         from tpu_diinn.nn.registry import make_encoder
         self.encoder = make_encoder(self.encoder_spec, dtype=self.dtype,
-                                    name="encoder")
+                                    lane_pack=self.lane_pack, name="encoder")
         # imnet layer 0, factorized: unfolded-feature part as a 3x3 (or 1x1)
         # conv at LR; rel-coord and cell parts as tiny per-query denses.
         k = 3 if self.feat_unfold else 1

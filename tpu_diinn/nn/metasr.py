@@ -50,12 +50,13 @@ class MetaSR(nn.Module):
     encoder_spec: str = "rdn"
     feat_dim: int = 64  # encoder out_dim (rdn.py:108-119 -> G0=64)
     hyper_hidden: int = 256
+    lane_pack: Optional[bool] = None
     dtype: Any = None
 
     def setup(self):
         from tpu_diinn.nn.registry import make_encoder
         self.encoder = make_encoder(self.encoder_spec, dtype=self.dtype,
-                                    name="encoder")
+                                    lane_pack=self.lane_pack, name="encoder")
         self.hyper_fc0 = Dense(self.hyper_hidden, dtype=self.dtype,
                                name="hyper_fc0")
         self.hyper_fc1 = Dense(self.feat_dim * 9 * 3, dtype=self.dtype,

@@ -37,6 +37,7 @@ class RDB(nn.Module):
     growth: int
     n_convs: int
     halo_axis: Any = None
+    lane_pack: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -44,6 +45,7 @@ class RDB(nn.Module):
         y = x
         for c in range(self.n_convs):
             out = nn.relu(Conv(self.growth, 3, halo_axis=self.halo_axis,
+                               lane_pack=self.lane_pack,
                                dtype=self.dtype, name=f"conv{c}")(y))
             y = jnp.concatenate([y, out], axis=-1)
         y = Conv(self.growth0, 1, dtype=self.dtype, name="lff")(y)
@@ -56,6 +58,9 @@ class RDN(nn.Module):
     n_colors: int = 3
     upsampling: Optional[int] = None  # None => return feature grid (out_dim=G0)
     halo_axis: Any = None
+    # lane_pack: compute the G0/G-channel 3x3 convs in the column-pair packed
+    # form for full MXU lane use (layers._LanePackedConv3x3; same params).
+    lane_pack: bool = False
     dtype: Any = None
 
     @property
@@ -66,19 +71,20 @@ class RDN(nn.Module):
     def __call__(self, x: Array) -> Array:
         d, c, g = RDN_CONFIGS[self.config]
         g0 = self.growth0
-        f1 = Conv(g0, 3, halo_axis=self.halo_axis, dtype=self.dtype,
-                  name="sfe1")(x)
-        y = Conv(g0, 3, halo_axis=self.halo_axis, dtype=self.dtype,
-                 name="sfe2")(f1)
+        lp = self.lane_pack
+        f1 = Conv(g0, 3, halo_axis=self.halo_axis, lane_pack=lp,
+                  dtype=self.dtype, name="sfe1")(x)
+        y = Conv(g0, 3, halo_axis=self.halo_axis, lane_pack=lp,
+                 dtype=self.dtype, name="sfe2")(f1)
         block_outs = []
         for i in range(d):
-            y = RDB(g0, g, c, halo_axis=self.halo_axis, dtype=self.dtype,
-                    name=f"rdb{i}")(y)
+            y = RDB(g0, g, c, halo_axis=self.halo_axis, lane_pack=lp,
+                    dtype=self.dtype, name=f"rdb{i}")(y)
             block_outs.append(y)
         y = Conv(g0, 1, dtype=self.dtype, name="gff1")(
             jnp.concatenate(block_outs, axis=-1))
-        y = Conv(g0, 3, halo_axis=self.halo_axis, dtype=self.dtype,
-                 name="gff2")(y)
+        y = Conv(g0, 3, halo_axis=self.halo_axis, lane_pack=lp,
+                 dtype=self.dtype, name="gff2")(y)
         y = y + f1
         if not self.upsampling:
             return y

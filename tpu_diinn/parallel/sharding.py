@@ -164,7 +164,8 @@ def _stripe_fns(net, size: Tuple[int, int], stripe_w: int):
     from tpu_diinn.nn.registry import make_encoder
 
     if isinstance(net, DIINN):
-        enc = make_encoder(net.encoder_spec, dtype=net.dtype)
+        enc = make_encoder(net.encoder_spec, dtype=net.dtype,
+                           lane_pack=net.lane_pack)
         dec = ImplicitDecoder(in_channels=enc.out_dim,
                               hidden_dims=net.hidden_dims, mode=net.mode,
                               init_q=net.init_q, exact_sin=net.exact_sin,

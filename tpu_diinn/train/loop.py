@@ -49,7 +49,8 @@ def build_task(cfg: Config) -> SRTask:
     dtype = jnp.bfloat16 if m.dtype == "bfloat16" else None
     net = make_net(m.arch, mode=m.mode, init_q=m.init_q,
                    encoder_spec=m.encoder, dtype=dtype,
-                   hidden_dims=m.hidden_dims, use_fused=m.use_fused)
+                   hidden_dims=m.hidden_dims, use_fused=m.use_fused,
+                   lane_pack=m.lane_pack)
     return SRTask(net=net, eval_bsize=m.eval_bsize)
 
 

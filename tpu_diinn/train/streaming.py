@@ -28,7 +28,8 @@ def predict_streaming(net: DIINN, params, lr: np.ndarray,
                       normalize_io: bool = True,
                       mesh=None) -> np.ndarray:
     """[0,1] LR image -> [0,1] HR numpy image of ``size``, O(band) device mem."""
-    enc = make_encoder(net.encoder_spec, dtype=net.dtype)
+    enc = make_encoder(net.encoder_spec, dtype=net.dtype,
+                       lane_pack=net.lane_pack)
     dec = ImplicitDecoder(in_channels=enc.out_dim,
                           hidden_dims=net.hidden_dims, mode=net.mode,
                           init_q=net.init_q, exact_sin=net.exact_sin,
