@@ -174,3 +174,71 @@ def test_fused_ok_vmem_boundary():
                                use_fused=True)._fused_ok((8, 8), (16, 16))
     assert not ImplicitDecoder(in_channels=64, init_q=True,
                                use_fused=True)._fused_ok((8, 8), (16, 16))
+
+
+# ---------------------------------------------------------------------------
+# Integer-ratio fast path (block-repeat gather; the training hot path).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("s", [2, 3, 4])
+def test_fused_int_forward_matches_xla(s):
+    b, h_in, w_in = 2, 6, 8
+    h_out, w_out = h_in * s, w_in * s
+    dec, params, feat, zs, z, syn, kp = setup(b, h_in, w_in, h_out, w_out)
+    got = decode_fused(z, syn, (h_out, w_out), kp, interpret=True)
+    want = xla_out(dec, params, zs, syn, b, h_out, w_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("s", [2, 3, 4])
+def test_fused_int_backward_matches_xla(s):
+    b, h_in, w_in = 2, 6, 8
+    h_out, w_out = h_in * s, w_in * s
+    dec, params, feat, zs, z, syn, kp = setup(b, h_in, w_in, h_out, w_out)
+    g = jax.random.normal(jax.random.PRNGKey(9), (b, h_out, w_out, 3))
+
+    def loss_fused(z_, kp_):
+        out = decode_fused(z_, syn, (h_out, w_out), kp_, interpret=True)
+        return jnp.sum(out * g)
+
+    def loss_xla(z_, params_):
+        splits = np.cumsum([zz.shape[-1] for zz in zs])[:-1]
+        zs_ = jnp.split(z_, splits, axis=-1)
+        zs_hr = tuple(grids.upsample_nearest_exact_mm(zz, (h_out, w_out))
+                      for zz in zs_)
+        syn_b = jnp.broadcast_to(syn[None], (b, h_out, w_out, 3))
+        out = dec.apply(params_, zs_hr, syn_b,
+                        method=ImplicitDecoder.hr_step)
+        return jnp.sum(out * g)
+
+    (dz_f, dkp_f) = jax.grad(loss_fused, argnums=(0, 1))(z, kp)
+    (dz_x, dpar_x) = jax.grad(loss_xla, argnums=(0, 1))(z, params)
+    np.testing.assert_allclose(np.asarray(dz_f), np.asarray(dz_x),
+                               rtol=2e-4, atol=2e-4)
+    p = dpar_x["params"]
+    np.testing.assert_allclose(np.asarray(dkp_f["w0"]),
+                               np.asarray(p["q0"]["dense"]["kernel"]),
+                               rtol=2e-4, atol=2e-4)
+    for i in range(1, 3):
+        np.testing.assert_allclose(
+            np.asarray(dkp_f["wkq"][i - 1]),
+            np.asarray(p[f"kq{i}"]["dense"]["kernel"]), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(dkp_f["wq"][i - 1]),
+            np.asarray(p[f"q{i}"]["dense"]["kernel"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dkp_f["wl"]),
+                               np.asarray(p["last_dense"]["dense"]["kernel"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dkp_f["bl"]),
+                               np.asarray(p["last_dense"]["dense"]["bias"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pick_tile_h_int():
+    from tpu_diinn.kernels.decoder_fused import _pick_tile_h_int
+    assert _pick_tile_h_int(96, 2) == 16    # 48px x2
+    assert _pick_tile_h_int(144, 3) == 12   # 48px x3 (16 not a multiple of 3)
+    assert _pick_tile_h_int(192, 4) == 16   # 48px x4
+    assert _pick_tile_h_int(36, 3) == 12
+    assert _pick_tile_h_int(20, 20) == 20   # s_h > 16: one LR row per tile
