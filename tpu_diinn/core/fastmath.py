@@ -35,6 +35,20 @@ _SIN_COEFFS = (
 )
 
 
+# Degree-12 even minimax fit of cos on [-pi, pi] (max poly err 4.0e-8),
+# sharing _poly_sin's range reduction so sin+cos of the same argument (the
+# decoder backward needs both) costs one reduction and two polynomials.
+_COS_COEFFS = (
+    9.9999995963e-01,
+    -4.9999978455e-01,
+    4.1666391842e-02,
+    -1.3887438022e-03,
+    2.4763353977e-05,
+    -2.7023758023e-07,
+    1.7066625985e-09,
+)
+
+
 def _poly_sin(x: Array) -> Array:
     x = x.astype(jnp.float32)
     n = jnp.round(x * _INV_TWO_PI)
@@ -44,6 +58,22 @@ def _poly_sin(x: Array) -> Array:
     for c in _SIN_COEFFS[-2::-1]:
         acc = acc * r2 + jnp.float32(c)
     return r * acc
+
+
+def _poly_sincos(x: Array):
+    """(sin x, cos x) with a single shared range reduction."""
+    x = x.astype(jnp.float32)
+    n = jnp.round(x * _INV_TWO_PI)
+    r = x - n * _TWO_PI_HI - n * _TWO_PI_LO
+    r2 = r * r
+    acc = jnp.float32(_SIN_COEFFS[-1])
+    for c in _SIN_COEFFS[-2::-1]:
+        acc = acc * r2 + jnp.float32(c)
+    s = r * acc
+    acc = jnp.float32(_COS_COEFFS[-1])
+    for c in _COS_COEFFS[-2::-1]:
+        acc = acc * r2 + jnp.float32(c)
+    return s, acc
 
 
 @jax.custom_jvp

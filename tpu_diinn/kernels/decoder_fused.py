@@ -20,10 +20,27 @@ upsampled features are 4x256 channels at HR — the decoder is HBM-bound at
 S_col), the k/q chain lives in VMEM, and HBM traffic drops to the LR z
 (~38x less) plus the RGB output.
 
+The kernel is VPU-bound once the matmuls are fused (measured round 4,
+scripts/kernel_probe.py), so the implementation minimises elementwise
+passes:
+
+- The two per-layer matmuls run as ONE (hidden -> 2*hidden) matmul against
+  the concatenated ``[Wkq | Wq]`` weights (half the MXU launches, N = 512).
+- On the integer-ratio path (all training scales) the repeated (M, C_all)
+  tile is never materialised: nearest-exact for ``n_out = s * n_in`` is an
+  s x s block repeat, so the LR block is *broadcast-added* into each layer's
+  pre-activation instead of being copied up-front (saves a full (M, C_all)
+  VPU copy per tile, ~1.2 GB/step at the training shape).
+- The backward recomputes sin and cos with one shared range reduction
+  (core/fastmath._poly_sincos), writes each layer's dz band directly into
+  its channel slice (no (M, C_all) concat), applies layer 0's relu mask at
+  LR resolution after folding, and backprops both per-layer matmuls through
+  single concatenated GEMMs (dq: K = 2*hidden; dW: N = 2*hidden).
+
 Grid: (B, H_out/TILE_H); each program decodes TILE_H full-width output rows.
-The backward kernel recomputes the chain per tile and accumulates dz and all
-weight grads across the sequential TPU grid (multiple-visit output blocks),
-so no HR activations are ever saved. Exposed as ``decode_fused`` with a
+The backward kernel recomputes the chain per tile and accumulates weight
+grads across the sequential TPU grid (multiple-visit output blocks), so no
+HR activations are ever saved. Exposed as ``decode_fused`` with a
 ``jax.custom_vjp``.
 
 Reference semantics: diinn.py:112-147 (mode 3), diinn.py:163-173.
@@ -32,7 +49,7 @@ Reference semantics: diinn.py:112-147 (mode 3), diinn.py:163-173.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -42,10 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_diinn.core import grids
 from tpu_diinn.core.fastmath import _poly_sin as _sin
-
-
-def _cos(x):
-    return _sin(x + 1.5707963267948966)
+from tpu_diinn.core.fastmath import _poly_sincos as _sincos
 
 Array = jnp.ndarray
 
@@ -57,11 +71,13 @@ def _pick_tile_h(h_out: int) -> int:
     return 1
 
 
-def _pick_tile_h_int(h_out: int, s_h: int) -> int:
-    """Largest multiple of ``s_h`` (<= 16) dividing ``h_out``: the integer
-    fast path's tile must cover whole LR rows."""
+def _pick_tile_h_int(h_out: int, s_h: int, cap: int = 16) -> int:
+    """Largest multiple of ``s_h`` (<= cap) dividing ``h_out``: the integer
+    fast path's tile must cover whole LR rows. The backward uses cap=8 —
+    its per-layer f32 stashes (k/sin/cos/q) make the smaller working set
+    pipeline better (measured r4, scripts/kernel_probe.py)."""
     best = s_h
-    for t in range(s_h, 17, s_h):
+    for t in range(s_h, cap + 1, s_h):
         if h_out % t == 0:
             best = t
     return best
@@ -70,8 +86,7 @@ def _pick_tile_h_int(h_out: int, s_h: int) -> int:
 def _repeat_block(z, s_h: int, s_w: int):
     """(R, W, C) LR features -> (R*s_h*W*s_w, C) queries, row-major over the
     (R*s_h, W*s_w) output tile — nearest-exact for integer ratios is exactly
-    an s_h x s_w block repeat (idx[i] = i // s for n_out = s * n_in), so the
-    gather is a VPU broadcast instead of one-hot MXU matmuls."""
+    an s_h x s_w block repeat (idx[i] = i // s for n_out = s * n_in)."""
     r, w, c = z.shape
     zb = jnp.broadcast_to(z[:, None, :, None, :], (r, s_h, w, s_w, c))
     return zb.reshape(r * s_h * w * s_w, c)
@@ -84,9 +99,31 @@ def _fold_block(dzt, r: int, s_h: int, w: int, s_w: int):
     return dzt.reshape(r, s_h, w, s_w, c).sum(axis=(1, 3))
 
 
-def _chain_fwd(zt, syn, w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
-               wl_ref, bl_ref, *, n_layers: int, hidden: int):
-    """Dual-MLP chain over a flat (M, C_all) tile, fp32 accumulation."""
+def _badd(flat, z_lr, r: int, s_h: int, w: int, s_w: int):
+    """flat (M, C) + block-repeat(z_lr (R, W, C)) without materialising the
+    repeated tile: reshape to expose the block structure and broadcast-add."""
+    c = flat.shape[-1]
+    v = flat.reshape(r, s_h, w, s_w, c)
+    v = v + z_lr[:, None, :, None, :].astype(flat.dtype)
+    return v.reshape(r * s_h * w * s_w, c)
+
+
+def _bmul(flat, z_lr, r: int, s_h: int, w: int, s_w: int):
+    """flat (M, C) * block-repeat(z_lr (R, W, C)), broadcast form."""
+    c = flat.shape[-1]
+    v = flat.reshape(r, s_h, w, s_w, c)
+    v = v * z_lr[:, None, :, None, :].astype(flat.dtype)
+    return v.reshape(r * s_h * w * s_w, c)
+
+
+# ---------------------------------------------------------------------------
+# Forward.
+# ---------------------------------------------------------------------------
+
+def _chain_fwd(zt, syn, w0_ref, b0_ref, wcat_ref, bcat_ref, wl_ref, bl_ref,
+               *, n_layers: int, hidden: int):
+    """Dual-MLP chain over a materialised flat (M, C_all) tile (the
+    arbitrary-ratio / window path), fp32 accumulation, fused [Wkq|Wq]."""
     k = jax.nn.relu(zt[:, :hidden].astype(jnp.float32))
     cdt = w0_ref.dtype
     q0 = jax.lax.dot_general(syn.astype(cdt), w0_ref[...],
@@ -95,14 +132,12 @@ def _chain_fwd(zt, syn, w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
     q = k * _sin(q0 + b0_ref[...].astype(jnp.float32))
     for i in range(1, n_layers):
         zi = zt[:, i * hidden:(i + 1) * hidden].astype(jnp.float32)
-        kq = jax.lax.dot_general(
-            q.astype(cdt), wkq_ref[i - 1],
+        both = jax.lax.dot_general(
+            q.astype(cdt), wcat_ref[i - 1],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        k = jax.nn.relu(kq + zi + bkq_ref[i - 1].astype(jnp.float32))
-        qq = jax.lax.dot_general(
-            q.astype(cdt), wq_ref[i - 1],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        q = k * _sin(qq + bq_ref[i - 1].astype(jnp.float32))
+        both = both + bcat_ref[i - 1].astype(jnp.float32)
+        k = jax.nn.relu(both[:, :hidden] + zi)
+        q = k * _sin(both[:, hidden:])
     out = jax.lax.dot_general(
         q.astype(cdt), wl_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -110,7 +145,7 @@ def _chain_fwd(zt, syn, w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
 
 
 def _fwd_kernel(syn_ref, z_ref, srow_ref, scol_ref,
-                w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
+                w0_ref, b0_ref, wcat_ref, bcat_ref,
                 wl_ref, bl_ref, out_ref, *, n_layers: int, hidden: int,
                 w_in: int, w_out: int, tile_h: int):
     ch_all = n_layers * hidden
@@ -132,24 +167,56 @@ def _fwd_kernel(syn_ref, z_ref, srow_ref, scol_ref,
     zt = jnp.stack(rows, axis=0).reshape(tile_h * w_out, ch_all)
     # 3) dual-MLP chain
     syn = syn_ref[...].reshape(tile_h * w_out, 3)
-    out = _chain_fwd(zt, syn, w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref,
-                     bq_ref, wl_ref, bl_ref, n_layers=n_layers, hidden=hidden)
+    out = _chain_fwd(zt, syn, w0_ref, b0_ref, wcat_ref, bcat_ref, wl_ref,
+                     bl_ref, n_layers=n_layers, hidden=hidden)
     out_ref[0] = out.reshape(tile_h, w_out, 3).astype(out_ref.dtype)
 
 
 def _fwd_kernel_int(syn_ref, z_ref,
-                    w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
+                    w0_ref, b0_ref, wcat_ref, bcat_ref,
                     wl_ref, bl_ref, out_ref, *, n_layers: int, hidden: int,
                     s_h: int, s_w: int, w_out: int, tile_h: int):
     """Integer-ratio fast path: the tile's LR rows arrive as a block and the
-    nearest-exact gather is a VPU block repeat — no gather matmuls at all.
-    This is the training hot path (train scales are integers, SURVEY.md §6)."""
+    nearest-exact gather is a block broadcast — no gather matmuls and no
+    materialised (M, C_all) tile. This is the training hot path (train
+    scales are integers, SURVEY.md §6)."""
+    f32 = jnp.float32
+    cdt = w0_ref.dtype
     z = z_ref[0]                      # (R, W_in, C_all) — only this tile's rows
-    zt = _repeat_block(z, s_h, s_w)   # (tile_h * w_out, C_all)
-    syn = syn_ref[...].reshape(tile_h * w_out, 3)
-    out = _chain_fwd(zt, syn, w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref,
-                     bq_ref, wl_ref, bl_ref, n_layers=n_layers, hidden=hidden)
+    r, w_in, _ = z.shape
+    m = tile_h * w_out
+    syn = syn_ref[...].reshape(m, 3)
+    k0 = jax.nn.relu(z[:, :, :hidden].astype(f32))        # LR-resolution relu
+    q0 = jax.lax.dot_general(syn.astype(cdt), w0_ref[...],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    s0 = _sin(q0 + b0_ref[...].astype(f32))
+    q = _bmul(s0, k0, r, s_h, w_in, s_w)
+    for i in range(1, n_layers):
+        zi = z[:, :, i * hidden:(i + 1) * hidden]
+        both = jax.lax.dot_general(
+            q.astype(cdt), wcat_ref[i - 1],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        both = both + bcat_ref[i - 1].astype(f32)
+        k = jax.nn.relu(_badd(both[:, :hidden], zi, r, s_h, w_in, s_w))
+        q = k * _sin(both[:, hidden:])
+    out = jax.lax.dot_general(q.astype(cdt), wl_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    out = out + bl_ref[...].astype(f32)
     out_ref[0] = out.reshape(tile_h, w_out, 3).astype(out_ref.dtype)
+
+
+def _weight_specs():
+    return [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+
+
+def _cat_weights(w0, b0, wkq, bkq, wq, bq):
+    """Per-layer [Wkq | Wq] / [bkq | bq] concatenation (tiny, traced on the
+    params; XLA folds it into the update step)."""
+    wcat = jnp.concatenate([wkq, wq], axis=2)       # (L-1, H, 2H)
+    bcat = jnp.concatenate([bkq, bq], axis=1)       # (L-1, 2H)
+    return wcat, bcat
 
 
 def _fwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl,
@@ -161,6 +228,7 @@ def _fwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl,
     hidden = w0.shape[1]
     tile_h = _pick_tile_h(h_out)
     grid = (b, h_out // tile_h)
+    wcat, bcat = _cat_weights(w0, b0, wkq, bkq, wq, bq)
     kern = functools.partial(
         _fwd_kernel, n_layers=n_layers, hidden=hidden, w_in=w_in,
         w_out=w_out, tile_h=tile_h)
@@ -181,15 +249,7 @@ def _fwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl,
                          memory_space=pltpu.VMEM),       # srow
             pl.BlockSpec((w_out, w_in), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),       # scol
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # w0
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # b0
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # wkq
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # bkq
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # wq
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # bq
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # wl
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # bl
-        ],
+        ] + _weight_specs(),
         out_specs=pl.BlockSpec((1, tile_h, w_out, 3),
                                lambda ib, it: (ib, it, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -200,7 +260,45 @@ def _fwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(syn[None], z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl)
+    )(syn[None], z, srow, scol, w0, b0, wcat, bcat, wl, bl)
+
+
+def _fwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl,
+                    *, s_h: int, s_w: int, interpret: bool):
+    b, h_in, w_in, ch_all = z.shape
+    h_out, w_out = h_in * s_h, w_in * s_w
+    n_layers = wkq.shape[0] + 1
+    hidden = w0.shape[1]
+    tile_h = _pick_tile_h_int(h_out, s_h)
+    grid = (b, h_out // tile_h)
+    wcat, bcat = _cat_weights(w0, b0, wkq, bkq, wq, bq)
+    kern = functools.partial(
+        _fwd_kernel_int, n_layers=n_layers, hidden=hidden, s_h=s_h, s_w=s_w,
+        w_out=w_out, tile_h=tile_h)
+    flops = 2 * b * h_out * w_out * (
+        3 * hidden + (n_layers - 1) * 2 * hidden * hidden + hidden * 3)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, tile_h, w_out, 3),
+                         lambda ib, it: (0, it, 0, 0),
+                         memory_space=pltpu.VMEM),       # syn
+            pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
+                         lambda ib, it: (ib, it, 0, 0),
+                         memory_space=pltpu.VMEM),       # z rows of this tile
+        ] + _weight_specs(),
+        out_specs=pl.BlockSpec((1, tile_h, w_out, 3),
+                               lambda ib, it: (ib, it, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=z.size * 2,
+                                      transcendentals=b * h_out * w_out
+                                      * hidden * n_layers),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(syn[None], z, w0, b0, wcat, bcat, wl, bl)
 
 
 # ---------------------------------------------------------------------------
@@ -208,13 +306,14 @@ def _fwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl,
 # ---------------------------------------------------------------------------
 
 def _chain_bwd(zt, syn, g,
-               w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
-               wl_ref, bl_ref, dw0_ref, db0_ref, dwkq_ref, dbkq_ref,
-               dwq_ref, dbq_ref, dwl_ref, dbl_ref,
+               w0_ref, b0_ref, wcat_ref, bcat_ref, wl_ref, bl_ref,
+               dw0_ref, db0_ref, dwcat_ref, dbcat_ref, dwl_ref, dbl_ref,
                *, n_layers: int, hidden: int):
-    """Recompute the chain over a flat (M, C_all) tile and backprop ``g``:
-    accumulates weight grads into the d*_ref accumulators (multiple-visit
-    output blocks over the sequential TPU grid) and returns dzt (M, C_all)."""
+    """Recompute the chain over a materialised flat (M, C_all) tile and
+    backprop ``g``: accumulates weight grads into the d*_ref accumulators
+    (multiple-visit output blocks over the sequential TPU grid) and returns
+    dzt (M, C_all). The window-path backward; the int path has its own
+    broadcast-folded variant below."""
     f32 = jnp.float32
     cdt = w0_ref.dtype
 
@@ -223,23 +322,20 @@ def _chain_bwd(zt, syn, g,
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32)
 
-    # ---- recompute forward, stashing per-layer k, q, pre-activations ----
-    ks, qs, sins, kqs = [], [], [], []
+    # ---- recompute forward, stashing k / sin / cos / q per layer ----
+    ks, qs, sins, coss = [], [], [], []
     z0 = zt[:, :hidden].astype(f32)
     k = jax.nn.relu(z0)
-    s0 = _sin(mm(syn, w0_ref[...]) + b0_ref[...].astype(f32))
+    s0, c0 = _sincos(mm(syn, w0_ref[...]) + b0_ref[...].astype(f32))
     q = k * s0
-    ks.append(k); sins.append(s0); qs.append(q)
+    ks.append(k); sins.append(s0); coss.append(c0); qs.append(q)
     for i in range(1, n_layers):
         zi = zt[:, i * hidden:(i + 1) * hidden].astype(f32)
-        kq_pre = mm(q, wkq_ref[i - 1]) + zi + bkq_ref[i - 1].astype(f32)
-        k = jax.nn.relu(kq_pre)
-        q_pre = mm(q, wq_ref[i - 1]) + bq_ref[i - 1].astype(f32)
-        s = _sin(q_pre)
-        kqs.append((kq_pre, q_pre))
-        q_new = k * s
-        ks.append(k); sins.append(s); qs.append(q_new)
-        q = q_new
+        both = mm(q, wcat_ref[i - 1]) + bcat_ref[i - 1].astype(f32)
+        k = jax.nn.relu(both[:, :hidden] + zi)
+        s, c = _sincos(both[:, hidden:])
+        q = k * s
+        ks.append(k); sins.append(s); coss.append(c); qs.append(q)
 
     def mmT_acc(a, gout):  # a^T @ g : (in, out) weight grad
         return jax.lax.dot_general(
@@ -258,74 +354,124 @@ def _chain_bwd(zt, syn, g,
 
     dzt_parts = [None] * n_layers
     for i in range(n_layers - 1, 0, -1):
-        k = ks[i]; s = sins[i]; q_prev = qs[i - 1]
-        kq_pre, q_pre = kqs[i - 1]
-        dk = dq * s
-        ds = dq * k
-        dq_pre = ds * _cos(q_pre)
-        dkq_pre = dk * (kq_pre > 0)
+        k = ks[i]
+        # relu'(pre) == (k > 0): relu output sign carries the mask.
+        dkq_pre = (dq * sins[i]) * (k > 0)
+        dq_pre = (dq * k) * coss[i]
         dzt_parts[i] = dkq_pre
-        dbkq_ref[i - 1] += jnp.sum(dkq_pre, axis=0)
-        dbq_ref[i - 1] += jnp.sum(dq_pre, axis=0)
-        dwkq_ref[i - 1] += mmT_acc(q_prev, dkq_pre)
-        dwq_ref[i - 1] += mmT_acc(q_prev, dq_pre)
-        dq = mm_back(dkq_pre, wkq_ref[i - 1]) + mm_back(dq_pre, wq_ref[i - 1])
+        dboth = jnp.concatenate([dkq_pre, dq_pre], axis=1)   # (M, 2H)
+        dbcat_ref[i - 1] += jnp.sum(dboth, axis=0)
+        dwcat_ref[i - 1] += mmT_acc(qs[i - 1], dboth)
+        dq = mm_back(dboth, wcat_ref[i - 1])
     # layer 0: q = relu(z0) * sin(syn@w0+b0)
-    k0 = ks[0]; s0 = sins[0]
-    dk0 = dq * s0
-    ds0 = dq * k0
-    dpre0 = ds0 * _cos(mm(syn, w0_ref[...]) + b0_ref[...].astype(f32))
+    dpre0 = (dq * ks[0]) * coss[0]
     dw0_ref[...] += mmT_acc(syn, dpre0)
     db0_ref[...] += jnp.sum(dpre0, axis=0)
-    dzt_parts[0] = dk0 * (z0 > 0)
+    dzt_parts[0] = (dq * sins[0]) * (zt[:, :hidden].astype(f32) > 0)
 
     return jnp.concatenate(dzt_parts, axis=-1)  # (M, C_all)
 
 
+def _acc_weight_zero(dw0_ref, db0_ref, dwcat_ref, dbcat_ref,
+                     dwl_ref, dbl_ref):
+    dw0_ref[...] = jnp.zeros_like(dw0_ref)
+    db0_ref[...] = jnp.zeros_like(db0_ref)
+    dwcat_ref[...] = jnp.zeros_like(dwcat_ref)
+    dbcat_ref[...] = jnp.zeros_like(dbcat_ref)
+    dwl_ref[...] = jnp.zeros_like(dwl_ref)
+    dbl_ref[...] = jnp.zeros_like(dbl_ref)
+
+
 def _bwd_kernel_int(syn_ref, z_ref,
-                    w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
-                    wl_ref, bl_ref, g_ref,
-                    dz_ref, dw0_ref, db0_ref, dwkq_ref, dbkq_ref,
-                    dwq_ref, dbq_ref, dwl_ref, dbl_ref,
+                    w0_ref, b0_ref, wcat_ref, bcat_ref, wl_ref, bl_ref,
+                    g_ref,
+                    dz_ref, dw0_ref, db0_ref, dwcat_ref, dbcat_ref,
+                    dwl_ref, dbl_ref,
                     *, n_layers: int, hidden: int, s_h: int, s_w: int,
                     w_out: int, tile_h: int):
-    """Integer-ratio backward: block-repeat gather, block-sum scatter. Each
-    tile owns a disjoint band of LR rows, so dz needs NO cross-tile
-    accumulation (written directly to its block); only weight grads
-    accumulate across the grid."""
+    """Integer-ratio backward: broadcast gather, per-layer block-sum
+    scatter. Each tile owns a disjoint band of LR rows, so dz needs NO
+    cross-tile accumulation (written directly to its block); only weight
+    grads accumulate across the grid."""
     ib = pl.program_id(0)
     it = pl.program_id(1)
 
     @pl.when(jnp.logical_and(ib == 0, it == 0))
     def _zero():
-        dw0_ref[...] = jnp.zeros_like(dw0_ref)
-        db0_ref[...] = jnp.zeros_like(db0_ref)
-        dwkq_ref[...] = jnp.zeros_like(dwkq_ref)
-        dbkq_ref[...] = jnp.zeros_like(dbkq_ref)
-        dwq_ref[...] = jnp.zeros_like(dwq_ref)
-        dbq_ref[...] = jnp.zeros_like(dbq_ref)
-        dwl_ref[...] = jnp.zeros_like(dwl_ref)
-        dbl_ref[...] = jnp.zeros_like(dbl_ref)
+        _acc_weight_zero(dw0_ref, db0_ref, dwcat_ref, dbcat_ref,
+                         dwl_ref, dbl_ref)
 
+    f32 = jnp.float32
+    cdt = w0_ref.dtype
     z = z_ref[0]                      # (R, W_in, C_all)
-    r, w_in, ch_all = z.shape
-    zt = _repeat_block(z, s_h, s_w)
-    syn = syn_ref[...].reshape(tile_h * w_out, 3).astype(jnp.float32)
-    g = g_ref[0].reshape(tile_h * w_out, 3).astype(jnp.float32)
+    r, w_in, _ = z.shape
+    m = tile_h * w_out
+    syn = syn_ref[...].reshape(m, 3).astype(f32)
+    g = g_ref[0].reshape(m, 3).astype(f32)
 
-    dzt = _chain_bwd(zt, syn, g,
-                     w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
-                     wl_ref, bl_ref, dw0_ref, db0_ref, dwkq_ref, dbkq_ref,
-                     dwq_ref, dbq_ref, dwl_ref, dbl_ref,
-                     n_layers=n_layers, hidden=hidden)
-    dz_ref[0] = _fold_block(dzt, r, s_h, w_in, s_w).astype(dz_ref.dtype)
+    def mm(a, w):
+        return jax.lax.dot_general(a.astype(cdt), w,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def mmT_acc(a, gout):
+        return jax.lax.dot_general(
+            a.astype(cdt), gout.astype(cdt),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def mm_back(gout, w):
+        return jax.lax.dot_general(
+            gout.astype(cdt), w,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    # ---- recompute forward (broadcast gather, no (M, C_all) tile) ----
+    k0_lr = jax.nn.relu(z[:, :, :hidden].astype(f32))     # (R, W_in, H) at LR
+    s0, c0 = _sincos(mm(syn, w0_ref[...]) + b0_ref[...].astype(f32))
+    q = _bmul(s0, k0_lr, r, s_h, w_in, s_w)
+    ks, qs, sins, coss = [None], [q], [s0], [c0]
+    for i in range(1, n_layers):
+        zi = z[:, :, i * hidden:(i + 1) * hidden]
+        both = mm(q, wcat_ref[i - 1]) + bcat_ref[i - 1].astype(f32)
+        k = jax.nn.relu(_badd(both[:, :hidden], zi, r, s_h, w_in, s_w))
+        s, c = _sincos(both[:, hidden:])
+        q = k * s
+        ks.append(k); sins.append(s); coss.append(c); qs.append(q)
+
+    # ---- backward chain ----
+    dwl_ref[...] += mmT_acc(qs[-1], g)
+    dbl_ref[...] += jnp.sum(g, axis=0)
+    dq = mm_back(g, wl_ref[...])
+
+    for i in range(n_layers - 1, 0, -1):
+        k = ks[i]
+        dkq_pre = (dq * sins[i]) * (k > 0)
+        dq_pre = (dq * k) * coss[i]
+        dz_ref[0, :, :, i * hidden:(i + 1) * hidden] = _fold_block(
+            dkq_pre, r, s_h, w_in, s_w).astype(dz_ref.dtype)
+        # separate GEMMs beat a concat into one K=512 GEMM here (the (M,2H)
+        # concat copy costs more than the saved launch — measured r4,
+        # scripts/kernel_probe.py bwd ablation); accumulate into the wcat
+        # slices so the accumulator layout stays single-buffer.
+        dbcat_ref[i - 1, :hidden] += jnp.sum(dkq_pre, axis=0)
+        dbcat_ref[i - 1, hidden:] += jnp.sum(dq_pre, axis=0)
+        dwcat_ref[i - 1, :, :hidden] += mmT_acc(qs[i - 1], dkq_pre)
+        dwcat_ref[i - 1, :, hidden:] += mmT_acc(qs[i - 1], dq_pre)
+        dq = mm_back(dkq_pre, wcat_ref[i - 1, :, :hidden]) \
+            + mm_back(dq_pre, wcat_ref[i - 1, :, hidden:])
+    # layer 0: fold first, mask at LR (k0 = relu(z0) lives at LR).
+    dk0_lr = _fold_block(dq * sins[0], r, s_h, w_in, s_w)
+    dz_ref[0, :, :, :hidden] = (
+        dk0_lr * (z[:, :, :hidden].astype(f32) > 0)).astype(dz_ref.dtype)
+    dpre0 = _bmul(dq, k0_lr, r, s_h, w_in, s_w) * coss[0]
+    dw0_ref[...] += mmT_acc(syn, dpre0)
+    db0_ref[...] += jnp.sum(dpre0, axis=0)
 
 
 def _bwd_kernel(syn_ref, z_ref, srow_ref, scol_ref,
-                w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
-                wl_ref, bl_ref, g_ref,
-                dz_ref, dw0_ref, db0_ref, dwkq_ref, dbkq_ref,
-                dwq_ref, dbq_ref, dwl_ref, dbl_ref,
+                w0_ref, b0_ref, wcat_ref, bcat_ref, wl_ref, bl_ref,
+                g_ref,
+                dz_ref, dw0_ref, db0_ref, dwcat_ref, dbcat_ref,
+                dwl_ref, dbl_ref,
                 *, n_layers: int, hidden: int, w_in: int, w_out: int,
                 tile_h: int):
     ib = pl.program_id(0)
@@ -333,14 +479,8 @@ def _bwd_kernel(syn_ref, z_ref, srow_ref, scol_ref,
 
     @pl.when(jnp.logical_and(ib == 0, it == 0))
     def _zero():
-        dw0_ref[...] = jnp.zeros_like(dw0_ref)
-        db0_ref[...] = jnp.zeros_like(db0_ref)
-        dwkq_ref[...] = jnp.zeros_like(dwkq_ref)
-        dbkq_ref[...] = jnp.zeros_like(dbkq_ref)
-        dwq_ref[...] = jnp.zeros_like(dwq_ref)
-        dbq_ref[...] = jnp.zeros_like(dbq_ref)
-        dwl_ref[...] = jnp.zeros_like(dwl_ref)
-        dbl_ref[...] = jnp.zeros_like(dbl_ref)
+        _acc_weight_zero(dw0_ref, db0_ref, dwcat_ref, dbcat_ref,
+                         dwl_ref, dbl_ref)
 
     @pl.when(it == 0)
     def _zero_dz():
@@ -365,9 +505,9 @@ def _bwd_kernel(syn_ref, z_ref, srow_ref, scol_ref,
     g = g_ref[0].reshape(tile_h * w_out, 3).astype(f32)
 
     dzt = _chain_bwd(zt, syn, g,
-                     w0_ref, b0_ref, wkq_ref, bkq_ref, wq_ref, bq_ref,
-                     wl_ref, bl_ref, dw0_ref, db0_ref, dwkq_ref, dbkq_ref,
-                     dwq_ref, dbq_ref, dwl_ref, dbl_ref,
+                     w0_ref, b0_ref, wcat_ref, bcat_ref, wl_ref, bl_ref,
+                     dw0_ref, db0_ref, dwcat_ref, dbcat_ref,
+                     dwl_ref, dbl_ref,
                      n_layers=n_layers, hidden=hidden)
 
     # ---- scatter-adjoint back to LR: S_col^T then S_row^T ----
@@ -384,6 +524,28 @@ def _bwd_kernel(syn_ref, z_ref, srow_ref, scol_ref,
     dz_ref[0] += dz_lr.reshape(h_in, w_in, ch_all).astype(dz_ref.dtype)
 
 
+def _grad_out_shapes(z_shape, w0, b0, wkq, bkq, wq, bq, wl, bl):
+    acc = jnp.float32
+    n1, h = wkq.shape[0], w0.shape[1]
+    return (
+        jax.ShapeDtypeStruct(z_shape, acc),                       # dz
+        jax.ShapeDtypeStruct(w0.shape, acc),
+        jax.ShapeDtypeStruct(b0.shape, acc),
+        jax.ShapeDtypeStruct((n1, h, 2 * h), acc),                # dwcat
+        jax.ShapeDtypeStruct((n1, 2 * h), acc),                   # dbcat
+        jax.ShapeDtypeStruct(wl.shape, acc),
+        jax.ShapeDtypeStruct(bl.shape, acc),
+    )
+
+
+def _split_wgrads(douts):
+    """(dz, dw0, db0, dwcat, dbcat, dwl, dbl) -> per-tuple grads."""
+    dz, dw0, db0, dwcat, dbcat, dwl, dbl = douts
+    h = dw0.shape[1]
+    return (dz, dw0, db0, dwcat[:, :, :h], dwcat[:, :, h:],
+            dbcat[:, :h], dbcat[:, h:], dwl, dbl)
+
+
 def _bwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
                 *, interpret: bool):
     b, h_in, w_in, ch_all = z.shape
@@ -393,31 +555,17 @@ def _bwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
     hidden = w0.shape[1]
     tile_h = _pick_tile_h(h_out)
     grid = (b, h_out // tile_h)
+    wcat, bcat = _cat_weights(w0, b0, wkq, bkq, wq, bq)
     kern = functools.partial(
         _bwd_kernel, n_layers=n_layers, hidden=hidden, w_in=w_in,
         w_out=w_out, tile_h=tile_h)
-    acc = jnp.float32
-    out_shape = (
-        jax.ShapeDtypeStruct((b, h_in, w_in, ch_all), acc),        # dz
-        jax.ShapeDtypeStruct(w0.shape, acc), jax.ShapeDtypeStruct(b0.shape, acc),
-        jax.ShapeDtypeStruct(wkq.shape, acc), jax.ShapeDtypeStruct(bkq.shape, acc),
-        jax.ShapeDtypeStruct(wq.shape, acc), jax.ShapeDtypeStruct(bq.shape, acc),
-        jax.ShapeDtypeStruct(wl.shape, acc), jax.ShapeDtypeStruct(bl.shape, acc),
-    )
-    full = lambda ib, it: tuple(0 for _ in range(1))
+    out_shape = _grad_out_shapes((b, h_in, w_in, ch_all),
+                                 w0, b0, wkq, bkq, wq, bq, wl, bl)
     out_specs = (
         pl.BlockSpec((1, h_in, w_in, ch_all), lambda ib, it: (ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
+    ) + tuple(_weight_specs())
+    douts = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -431,14 +579,7 @@ def _bwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w_out, w_in), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + _weight_specs() + [
             pl.BlockSpec((1, tile_h, w_out, 3),
                          lambda ib, it: (ib, it, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -448,52 +589,8 @@ def _bwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(syn[None], z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl, g)
-
-
-# ---------------------------------------------------------------------------
-# Integer-ratio pallas wrappers.
-# ---------------------------------------------------------------------------
-
-def _int_weight_specs():
-    return [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
-
-
-def _fwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl,
-                    *, s_h: int, s_w: int, interpret: bool):
-    b, h_in, w_in, ch_all = z.shape
-    h_out, w_out = h_in * s_h, w_in * s_w
-    n_layers = wkq.shape[0] + 1
-    hidden = w0.shape[1]
-    tile_h = _pick_tile_h_int(h_out, s_h)
-    grid = (b, h_out // tile_h)
-    kern = functools.partial(
-        _fwd_kernel_int, n_layers=n_layers, hidden=hidden, s_h=s_h, s_w=s_w,
-        w_out=w_out, tile_h=tile_h)
-    flops = 2 * b * h_out * w_out * (
-        3 * hidden + (n_layers - 1) * 2 * hidden * hidden + hidden * 3)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, tile_h, w_out, 3),
-                         lambda ib, it: (0, it, 0, 0),
-                         memory_space=pltpu.VMEM),       # syn
-            pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
-                         lambda ib, it: (ib, it, 0, 0),
-                         memory_space=pltpu.VMEM),       # z rows of this tile
-        ] + _int_weight_specs(),
-        out_specs=pl.BlockSpec((1, tile_h, w_out, 3),
-                               lambda ib, it: (ib, it, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3), jnp.float32),
-        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=z.size * 2,
-                                      transcendentals=b * h_out * w_out
-                                      * hidden * n_layers),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(syn[None], z, w0, b0, wkq, bkq, wq, bq, wl, bl)
+    )(syn[None], z, srow, scol, w0, b0, wcat, bcat, wl, bl, g)
+    return _split_wgrads(douts)
 
 
 def _bwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
@@ -502,26 +599,21 @@ def _bwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
     h_out, w_out = h_in * s_h, w_in * s_w
     n_layers = wkq.shape[0] + 1
     hidden = w0.shape[1]
-    tile_h = _pick_tile_h_int(h_out, s_h)
+    tile_h = _pick_tile_h_int(h_out, s_h, cap=8)
     grid = (b, h_out // tile_h)
+    wcat, bcat = _cat_weights(w0, b0, wkq, bkq, wq, bq)
     kern = functools.partial(
         _bwd_kernel_int, n_layers=n_layers, hidden=hidden, s_h=s_h, s_w=s_w,
         w_out=w_out, tile_h=tile_h)
-    acc = jnp.float32
-    out_shape = (
-        jax.ShapeDtypeStruct((b, h_in, w_in, ch_all), acc),        # dz
-        jax.ShapeDtypeStruct(w0.shape, acc), jax.ShapeDtypeStruct(b0.shape, acc),
-        jax.ShapeDtypeStruct(wkq.shape, acc), jax.ShapeDtypeStruct(bkq.shape, acc),
-        jax.ShapeDtypeStruct(wq.shape, acc), jax.ShapeDtypeStruct(bq.shape, acc),
-        jax.ShapeDtypeStruct(wl.shape, acc), jax.ShapeDtypeStruct(bl.shape, acc),
-    )
+    out_shape = _grad_out_shapes((b, h_in, w_in, ch_all),
+                                 w0, b0, wkq, bkq, wq, bq, wl, bl)
     out_specs = (
         # dz: each tile owns its LR row band — direct write, no accumulation
         pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
                      lambda ib, it: (ib, it, 0, 0),
                      memory_space=pltpu.VMEM),
-    ) + tuple(_int_weight_specs())
-    return pl.pallas_call(
+    ) + tuple(_weight_specs())
+    douts = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -531,7 +623,7 @@ def _bwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
             pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
                          lambda ib, it: (ib, it, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + _int_weight_specs() + [
+        ] + _weight_specs() + [
             pl.BlockSpec((1, tile_h, w_out, 3),
                          lambda ib, it: (ib, it, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -541,8 +633,13 @@ def _bwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl, g,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(syn[None], z, w0, b0, wkq, bkq, wq, bq, wl, bl, g)
+    )(syn[None], z, w0, b0, wcat, bcat, wl, bl, g)
+    return _split_wgrads(douts)
 
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrappers.
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _decode_core_int(syn, z, w0b0, wkqb, wqb, wlbl, s_h, s_w, interpret):
@@ -564,17 +661,13 @@ def _decode_int_bwd(s_h, s_w, interpret, res, g):
     douts = _bwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl,
                             g.astype(jnp.float32), s_h=s_h, s_w=s_w,
                             interpret=interpret)
-    dz, dw0, db0, dwkq, dbkq, dwq, dbq, dwl, dbl = douts
+    dz, dw0, db0, dwkq, dwq, dbkq, dbq, dwl, dbl = douts
     return (None, dz.astype(z.dtype),
             (dw0, db0), (dwkq, dbkq), (dwq, dbq), (dwl, dbl))
 
 
 _decode_core_int.defvjp(_decode_int_fwd, _decode_int_bwd)
 
-
-# ---------------------------------------------------------------------------
-# Public entry with custom VJP.
-# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def _decode_core(syn, z, srow, scol, w0b0, wkqb, wqb, wlbl, interpret):
@@ -595,7 +688,7 @@ def _decode_bwd(interpret, res, g):
     syn, z, srow, scol, (w0, b0), (wkq, bkq), (wq, bq), (wl, bl) = res
     douts = _bwd_pallas(syn, z, srow, scol, w0, b0, wkq, bkq, wq, bq, wl, bl,
                         g.astype(jnp.float32), interpret=interpret)
-    dz, dw0, db0, dwkq, dbkq, dwq, dbq, dwl, dbl = douts
+    dz, dw0, db0, dwkq, dwq, dbkq, dbq, dwl, dbl = douts
     return (None, dz.astype(z.dtype), None, None,
             (dw0, db0), (dwkq, dbkq), (dwq, dbq), (dwl, dbl))
 
@@ -618,8 +711,7 @@ def decode_fused(z: Array, syn: Array, out_size: Tuple[int, int], params,
     z: (B, H_in, W_in, L*hidden) stacked per-layer content features
        (bf16 recommended).
     syn: (H_out, W_out, 3) synthesis grid (batch-independent).
-    params: dict with keys q0/{kernel,bias}, kq (L-1,H,H), bkq, wq, bq,
-       last/{kernel,bias} — see pack_params.
+    params: dict with keys w0/b0, wkq/bkq, wq/bq, wl/bl — see pack_params.
     Returns (B, H_out, W_out, 3) float32.
     """
     b, h_in, w_in, _ = z.shape

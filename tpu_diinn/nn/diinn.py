@@ -190,6 +190,29 @@ class ImplicitDecoder(nn.Module):
             zs.append(kx(feat) if kx is not None else None)
         return tuple(zs)
 
+    def lr_features_stacked(self, feat: Array) -> Array:
+        """The channel-stacked content features as ONE 3x3 conv.
+
+        The fused kernel consumes the per-layer convs concatenated
+        channel-wise; concatenating their *kernels* instead of their outputs
+        (a ~75 MB copy per step at the training shape) runs a single
+        cout = L*hidden conv — one MXU launch fwd, one conv VJP bwd, zero
+        concat traffic. Mode-3/no-init_q only (the fused-kernel scope).
+        """
+        ws = [self.k0_conv.variables["params"]["conv"]["kernel"]]
+        bias = self.k0_conv.variables["params"]["conv"]["bias"]
+        for kx in self.kx_layers:
+            ws.append(kx.variables["params"]["conv"]["kernel"])
+        wcat = jnp.concatenate(ws, axis=-1)       # (3, 3, C_in, L*hidden)
+        bcat = jnp.concatenate(
+            [bias, jnp.zeros((wcat.shape[-1] - bias.shape[0],),
+                             bias.dtype)])
+        dt = self.dtype or feat.dtype
+        y = jax.lax.conv_general_dilated(
+            feat.astype(dt), wcat.astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bcat.astype(dt)
+
     # -- HR-side per-query network ----------------------------------------
     def hr_step(self, zs_hr: Tuple[Array, ...], syn: Array) -> Array:
         """Decode from gathered LR features ``zs_hr`` and synthesis input.
@@ -238,7 +261,6 @@ class ImplicitDecoder(nn.Module):
                  bsize: Optional[int] = None) -> Array:
         b, h_in, w_in, _ = feat.shape
         h_out, w_out = size
-        zs = self.lr_features(feat)
         syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
                                         dtype=feat.dtype)
 
@@ -246,13 +268,14 @@ class ImplicitDecoder(nn.Module):
             if self._fused_ok((h_in, w_in), (h_out, w_out)) \
                     and not self.is_initializing():
                 from tpu_diinn.kernels.decoder_fused import decode_fused
-                z = jnp.concatenate(list(zs), axis=-1)
+                z = self.lr_features_stacked(feat)
                 out = decode_fused(z, syn_full.astype(jnp.float32),
                                    (h_out, w_out), self._fused_params())
                 return out.astype(z.dtype)
             # Training path: nearest-exact upsample as one-hot matmuls for
             # all layers at once (single big MXU contraction; matmul VJP —
             # no scatter-add in the backward).
+            zs = self.lr_features(feat)
             present = [z for z in zs if z is not None]
             splits = np.cumsum([z.shape[-1] for z in present])[:-1]
             zcat = present[0] if len(present) == 1 else jnp.concatenate(
@@ -270,8 +293,15 @@ class ImplicitDecoder(nn.Module):
         # Memory-bounded eval: serial column chunks of bsize//H_out pixels
         # (reference batched_step, diinn.py:149-160); plain gathers, no grad.
         chunk = max(1, bsize // h_out)
+        if self._fused_ok((h_in, w_in), (h_out, min(chunk, w_out))) \
+                and not self.is_initializing():
+            # stacked LR conv computed ONCE, shared by every fused chunk
+            zcat, zs = self.lr_features_stacked(feat), None
+        else:
+            zcat, zs = None, self.lr_features(feat)
         outs = [self.decode_window(feat, size, 0, h_out, lo,
-                                   min(lo + chunk, w_out), _zs=zs)
+                                   min(lo + chunk, w_out), _zs=zs,
+                                   _zcat=zcat)
                 for lo in range(0, w_out, chunk)]
         return jnp.concatenate(outs, axis=2)
 
@@ -284,7 +314,6 @@ class ImplicitDecoder(nn.Module):
         unlike :meth:`decode_window`'s static bounds."""
         b, h_in, w_in, _ = feat.shape
         h_out, w_out = size
-        zs = self.lr_features(feat)
         syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
                                         dtype=feat.dtype)
         pad = stripe_w  # enough for any clamped overhang
@@ -305,13 +334,14 @@ class ImplicitDecoder(nn.Module):
             # one-hot gather matrix; under shard_map the kernel runs on
             # each device's local stripe (pallas-in-SPMD the clean way).
             from tpu_diinn.kernels.decoder_fused import decode_fused_window
-            z = jnp.concatenate(list(zs), axis=-1)
+            z = self.lr_features_stacked(feat)
             srow = jnp.asarray(grids.nearest_exact_onehot(h_in, h_out))
             scol = jax.nn.one_hot(cols, w_in, dtype=jnp.float32)
             out = decode_fused_window(z, syn_w.astype(jnp.float32),
                                       self._fused_params(),
                                       jnp.asarray(srow), scol)
             return out.astype(z.dtype)
+        zs = self.lr_features(feat)
         syn = jnp.broadcast_to(syn_w[None], (b, h_out, stripe_w, 3))
         gath = tuple(None if z is None else
                      jnp.take(z[:, rows], cols, axis=2) for z in zs)
@@ -321,7 +351,7 @@ class ImplicitDecoder(nn.Module):
 
     def decode_window(self, feat: Array, size: Tuple[int, int],
                       row_lo: int, row_hi: int, col_lo: int, col_hi: int,
-                      _zs=None) -> Array:
+                      _zs=None, _zcat=None) -> Array:
         """Decode an arbitrary rectangular window of the HR grid.
 
         The unit of tiled / out-of-core / streaming evaluation: the LR
@@ -329,10 +359,11 @@ class ImplicitDecoder(nn.Module):
         Like the reference's ``batched_step``, mode 4's 3x3 output conv is
         applied window-locally (reflect padding at window borders —
         diinn.py:149-160 has the same chunk-border behavior).
+        ``_zs`` / ``_zcat`` pass precomputed LR features (plain tuple /
+        channel-stacked) so chunk loops don't re-run the LR convs.
         """
         b, h_in, w_in, _ = feat.shape
         h_out, w_out = size
-        zs = _zs if _zs is not None else self.lr_features(feat)
         syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
                                         dtype=feat.dtype)
         if self._fused_ok((h_in, w_in), (row_hi - row_lo, col_hi - col_lo)) \
@@ -341,13 +372,14 @@ class ImplicitDecoder(nn.Module):
             # decode is the same kernel with sliced gather matrices — the
             # chunked-eval / streaming / out-of-core paths all hit it.
             from tpu_diinn.kernels.decoder_fused import decode_fused_window
-            z = jnp.concatenate(list(zs), axis=-1)
+            z = _zcat if _zcat is not None else self.lr_features_stacked(feat)
             srow = grids.nearest_exact_onehot(h_in, h_out)[row_lo:row_hi]
             scol = grids.nearest_exact_onehot(w_in, w_out)[col_lo:col_hi]
             out = decode_fused_window(
                 z, syn_full[row_lo:row_hi, col_lo:col_hi].astype(jnp.float32),
                 self._fused_params(), jnp.asarray(srow), jnp.asarray(scol))
             return out.astype(z.dtype)
+        zs = _zs if _zs is not None else self.lr_features(feat)
         rows = jnp.asarray(
             grids.nearest_exact_indices(h_in, h_out)[row_lo:row_hi])
         cols = jnp.asarray(
