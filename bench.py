@@ -30,7 +30,9 @@ def main():
     from tpu_diinn.train import loop
     from tpu_diinn.train.optim import make_optimizer
 
-    batch = 8
+    # batch is a free parameter of the px/s metric; 16 amortises per-step
+    # overhead best on v5e (scripts/perf_sweep.py batch sweep, r3/r4).
+    batch = 16
     patch = 48
     scale = 4
     cfg = load_config(None, [
@@ -76,6 +78,7 @@ def main():
         "value": round(pix_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(vs, 3),
+        "batch": batch,
         "steps_per_s": round(iters / dt, 2),
         "model_tflops_per_s": round(fl["total"] / step_t / 1e12, 1),
         "mfu_bf16": round(F.mfu(fl["total"], step_t), 3),

@@ -292,3 +292,31 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     state2, meta2 = load_params(str(tmp_path / "ck"), "best")
     assert meta2["step"] == 5
+
+
+def test_weights_npz_export_roundtrip(tmp_path):
+    """Compact .npz export: load_params accepts it and float params come
+    back bf16-rounded (the TPU compute precision), non-floats exact."""
+    from tpu_diinn.train.checkpoint import (CheckpointManager, load_params,
+                                            export_params_npz)
+    import ml_dtypes
+
+    cfg = tiny_config(str(tmp_path / "ck"))
+    tx = make_optimizer(1e-3, 10)
+    state = loop.init_state(cfg, tx, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(state, step=5, val_loss=0.5, config={"a": 1}, epoch=2)
+
+    npz = str(tmp_path / "weights.npz")
+    meta = export_params_npz(str(tmp_path / "ck"), npz)
+    assert meta["step"] == 5 and meta["epoch"] == 2
+
+    loaded, meta2 = load_params(npz)
+    assert meta2["val_loss"] == 0.5 and meta2["config"] == {"a": 1}
+    flat_src = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_new = jax.tree_util.tree_leaves_with_path(loaded["params"])
+    assert len(flat_src) == len(flat_new)
+    for (pa, a), (pb, b) in zip(sorted(flat_src, key=lambda t: str(t[0])),
+                                sorted(flat_new, key=lambda t: str(t[0]))):
+        want = np.asarray(a).astype(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(want, np.asarray(b))
