@@ -1,17 +1,19 @@
 """Microbenchmark the fused decoder kernel (int path) on the real chip.
 
-Times, for the training shape (B=16, 48x48 LR -> x4), the fused Pallas
-decode forward alone and forward+backward, plus ablations that bound each
-suspected cost: sine -> identity (VPU transcendental share), fused
-[Wkq|Wq] per-layer matmul (MXU launch count), and tile_h variants.
+Times the fused Pallas decode forward and forward+backward at the training
+shape (B=16, 48x48 LR -> x4) against the HR-chain matmul roofline. This is
+the tool behind PERF.md's round-4 section; the one-off ablation variants it
+hosted (materialised repeat vs broadcast-add, [Wkq|Wq] concat GEMMs,
+sine-free chains, dual interleaved chains, bf16 elementwise, bwd tile
+sizes) live in git history (round-4 commits) with their conclusions
+recorded in PERF.md — the winning recipe is the production kernel.
 
-Usage: python scripts/kernel_probe.py [--batch 16] [--iters 50]
+Usage: python scripts/kernel_probe.py [--batch 16] [--iters 30]
 """
 
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -28,7 +30,7 @@ def timeit(fn, iters, sync):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    sync(out)
+    sync(out)   # host fetch = the only reliable sync on the tunneled TPU
     return (time.perf_counter() - t0) / iters
 
 
@@ -37,7 +39,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--patch", type=int, default=48)
     ap.add_argument("--scale", type=int, default=4)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
     import jax
@@ -47,15 +49,13 @@ def main():
     from tpu_diinn.core import grids
 
     b, p, s = args.batch, args.patch, args.scale
-    h_in = w_in = p
     h_out = w_out = p * s
     hidden, n_layers = 256, 4
     ch_all = hidden * n_layers
 
     rng = np.random.default_rng(0)
-    z = jnp.asarray(rng.standard_normal((b, h_in, w_in, ch_all)),
-                    jnp.bfloat16)
-    syn = jnp.asarray(grids.syn_input_grid((h_in, w_in), (h_out, w_out),
+    z = jnp.asarray(rng.standard_normal((b, p, p, ch_all)), jnp.bfloat16)
+    syn = jnp.asarray(grids.syn_input_grid((p, p), (h_out, w_out),
                                            dtype=jnp.float32))
     params = {
         "w0": jnp.asarray(rng.standard_normal((3, hidden)) * 0.1,
@@ -74,508 +74,27 @@ def main():
         "bl": jnp.zeros((3,), jnp.float32),
     }
 
-    # HR-chain matmul model FLOPs (fwd): per px 576->skip; chain only
+    # HR-chain matmul model FLOPs (fwd)
     px = b * h_out * w_out
     fwd_fl = 2 * px * (3 * hidden + (n_layers - 1) * 2 * hidden * hidden
                        + hidden * 3)
 
     fwd = jax.jit(lambda z, syn: K.decode_fused(z, syn, (h_out, w_out),
                                                 params))
+    fwdbwd = jax.jit(jax.grad(
+        lambda z, syn: jnp.sum(K.decode_fused(z, syn, (h_out, w_out),
+                                              params))))
 
-    def loss(z, syn):
-        return jnp.sum(K.decode_fused(z, syn, (h_out, w_out), params))
-
-    fwdbwd = jax.jit(jax.grad(loss))
-
-    rows = []
-
-    def rec(name, dt, fl):
-        row = {"name": name, "ms": round(dt * 1e3, 3),
-               "tflops_per_s": round(fl / dt / 1e12, 1),
-               "pct_peak": round(fl / dt / 197e12 * 100, 1)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-
-    dt = timeit(lambda: fwd(z, syn), args.iters,
-                lambda o: float(jnp.sum(o[0, 0, 0])))
-    rec("fwd_current", dt, fwd_fl)
-
-    dt = timeit(lambda: fwdbwd(z, syn), args.iters,
-                lambda o: float(jnp.sum(o[0, 0, 0])))
-    rec("fwd_bwd_current", dt, 3 * fwd_fl)
-
-    # ---- ablation variants of the int fwd kernel ----
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from tpu_diinn.core.fastmath import _poly_sin
-
-    s_h = s_w = s
-    wcat = jnp.concatenate([params["wkq"], params["wq"]], axis=2)  # (L-1,H,2H)
-
-    def make_fwd(tile_h, variant):
-        n_l, hid = n_layers, hidden
-
-        def kern(syn_ref, z_ref, w0_ref, b0_ref, wkq_ref, bkq_ref,
-                 wq_ref, bq_ref, wl_ref, bl_ref, wcat_ref, out_ref):
-            zt = K._repeat_block(z_ref[0], s_h, s_w)
-            synt = syn_ref[...].reshape(tile_h * w_out, 3)
-            f32 = jnp.float32
-            cdt = jnp.bfloat16
-            sinf = (lambda v: v) if variant == "nosin" else _poly_sin
-            k = jax.nn.relu(zt[:, :hid].astype(f32))
-            q0 = jax.lax.dot_general(synt.astype(cdt), w0_ref[...],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-            q = k * sinf(q0 + b0_ref[...].astype(f32))
-            for i in range(1, n_l):
-                zi = zt[:, i * hid:(i + 1) * hid].astype(f32)
-                qb = q.astype(cdt)
-                if variant in ("wcat", "nosin_wcat"):
-                    both = jax.lax.dot_general(
-                        qb, wcat_ref[i - 1], (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32)
-                    kq, qq = both[:, :hid], both[:, hid:]
-                else:
-                    kq = jax.lax.dot_general(qb, wkq_ref[i - 1],
-                                             (((1,), (0,)), ((), ())),
-                                             preferred_element_type=f32)
-                    qq = jax.lax.dot_general(qb, wq_ref[i - 1],
-                                             (((1,), (0,)), ((), ())),
-                                             preferred_element_type=f32)
-                k = jax.nn.relu(kq + zi + bkq_ref[i - 1].astype(f32))
-                sv = sinf(qq + bq_ref[i - 1].astype(f32)) \
-                    if variant not in ("nosin", "nosin_wcat") \
-                    else (qq + bq_ref[i - 1].astype(f32))
-                q = k * sv
-            out = jax.lax.dot_general(q.astype(cdt), wl_ref[...],
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
-            out_ref[0] = (out + bl_ref[...].astype(f32)).reshape(
-                tile_h, w_out, 3).astype(out_ref.dtype)
-
-        grid = (b, h_out // tile_h)
-        wspec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
-        return pl.pallas_call(
-            kern, grid=grid,
-            in_specs=[
-                pl.BlockSpec((None, tile_h, w_out, 3),
-                             lambda ib, it: (0, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
-                             lambda ib, it: (ib, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + wspec,
-            out_specs=pl.BlockSpec((1, tile_h, w_out, 3),
-                                   lambda ib, it: (ib, it, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3),
-                                           jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )
-
-    # ---- round 4: bwd ablations ---------------------------------------
-    # current bwd = brepeat recompute + shared sincos + dboth concat
-    # (single K=512 / N=512 matmuls) + per-layer sliced dz writes.
-    # Variants toggle the concat and the dz write style.
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from tpu_diinn.core.fastmath import _poly_sin, _poly_sincos
-
-    s_h = s_w = s
-    wcat_w = jnp.concatenate([params["wkq"], params["wq"]], axis=2)
-    bcat_b = jnp.concatenate([params["bkq"], params["bq"]], axis=1)
-
-    def make_bwd(tile_h, cat_mm, dz_sliced):
-        n_l, hid = n_layers, hidden
-        r_rows = tile_h // s_h
-        m = tile_h * w_out
-
-        def kern(syn_ref, z_ref, w0_ref, b0_ref, wkq_ref, bkq_ref,
-                 wq_ref, bq_ref, wl_ref, bl_ref, wcat_ref, bcat_ref, g_ref,
-                 dz_ref, dw0_ref, db0_ref, dwcat_ref, dbcat_ref,
-                 dwl_ref, dbl_ref):
-            ib = pl.program_id(0)
-            it = pl.program_id(1)
-
-            @pl.when(jnp.logical_and(ib == 0, it == 0))
-            def _zero():
-                dw0_ref[...] = jnp.zeros_like(dw0_ref)
-                db0_ref[...] = jnp.zeros_like(db0_ref)
-                dwcat_ref[...] = jnp.zeros_like(dwcat_ref)
-                dbcat_ref[...] = jnp.zeros_like(dbcat_ref)
-                dwl_ref[...] = jnp.zeros_like(dwl_ref)
-                dbl_ref[...] = jnp.zeros_like(dbl_ref)
-
-            f32 = jnp.float32
-            cdt = jnp.bfloat16
-            z = z_ref[0]
-            r, w_in_, _ = z.shape
-            syn = syn_ref[...].reshape(m, 3).astype(f32)
-            g = g_ref[0].reshape(m, 3).astype(f32)
-
-            def mm(a, w):
-                return jax.lax.dot_general(a.astype(cdt), w,
-                                           (((1,), (0,)), ((), ())),
-                                           preferred_element_type=f32)
-
-            def mmT(a, gout):
-                return jax.lax.dot_general(
-                    a.astype(cdt), gout.astype(cdt),
-                    (((0,), (0,)), ((), ())), preferred_element_type=f32)
-
-            def mmb(gout, w):
-                return jax.lax.dot_general(
-                    gout.astype(cdt), w,
-                    (((1,), (1,)), ((), ())), preferred_element_type=f32)
-
-            def badd(flat, zl):
-                v = flat.reshape(r, s_h, w_in_, s_w, hid)
-                return (v + zl[:, None, :, None, :].astype(f32)).reshape(
-                    m, hid)
-
-            def bmul(flat, zl):
-                v = flat.reshape(r, s_h, w_in_, s_w, hid)
-                return (v * zl[:, None, :, None, :].astype(f32)).reshape(
-                    m, hid)
-
-            def fold(flat):
-                return flat.reshape(r, s_h, w_in_, s_w, hid).sum(
-                    axis=(1, 3))
-
-            k0_lr = jax.nn.relu(z[:, :, :hid].astype(f32))
-            s0, c0 = _poly_sincos(mm(syn, w0_ref[...])
-                                  + b0_ref[...].astype(f32))
-            q = bmul(s0, k0_lr)
-            ks, qs, sins, coss = [None], [q], [s0], [c0]
-            for i in range(1, n_l):
-                zi = z[:, :, i * hid:(i + 1) * hid]
-                both = mm(q, wcat_ref[i - 1]) + bcat_ref[i - 1].astype(f32)
-                k = jax.nn.relu(badd(both[:, :hid], zi))
-                sv, cv = _poly_sincos(both[:, hid:])
-                q = k * sv
-                ks.append(k); sins.append(sv); coss.append(cv); qs.append(q)
-
-            dwl_ref[...] += mmT(qs[-1], g)
-            dbl_ref[...] += jnp.sum(g, axis=0)
-            dq = mmb(g, wl_ref[...])
-            dz_parts = [None] * n_l
-            for i in range(n_l - 1, 0, -1):
-                k = ks[i]
-                dkq = (dq * sins[i]) * (k > 0)
-                dq_pre = (dq * k) * coss[i]
-                if dz_sliced:
-                    dz_ref[0, :, :, i * hid:(i + 1) * hid] = fold(
-                        dkq).astype(dz_ref.dtype)
-                else:
-                    dz_parts[i] = fold(dkq)
-                if cat_mm:
-                    dboth = jnp.concatenate([dkq, dq_pre], axis=1)
-                    dbcat_ref[i - 1] += jnp.sum(dboth, axis=0)
-                    dwcat_ref[i - 1] += mmT(qs[i - 1], dboth)
-                    dq = mmb(dboth, wcat_ref[i - 1])
-                else:
-                    dbcat_ref[i - 1, :hid] += jnp.sum(dkq, axis=0)
-                    dbcat_ref[i - 1, hid:] += jnp.sum(dq_pre, axis=0)
-                    dwcat_ref[i - 1, :, :hid] += mmT(qs[i - 1], dkq)
-                    dwcat_ref[i - 1, :, hid:] += mmT(qs[i - 1], dq_pre)
-                    dq = mmb(dkq, wkq_ref[i - 1]) + mmb(dq_pre,
-                                                        wq_ref[i - 1])
-            dk0 = fold(dq * sins[0])
-            dz0 = (dk0 * (z[:, :, :hid].astype(f32) > 0)).astype(
-                dz_ref.dtype)
-            if dz_sliced:
-                dz_ref[0, :, :, :hid] = dz0
-            else:
-                dz_parts[0] = dz0
-                dz_ref[0] = jnp.concatenate(
-                    [p.astype(dz_ref.dtype) if p.dtype != dz_ref.dtype
-                     else p for p in dz_parts], axis=-1)
-            dpre0 = bmul(dq, k0_lr) * coss[0]
-            dw0_ref[...] += mmT(syn, dpre0)
-            db0_ref[...] += jnp.sum(dpre0, axis=0)
-
-        grid = (b, h_out // tile_h)
-        acc = jnp.float32
-        out_shape = (
-            jax.ShapeDtypeStruct((b, h_in, w_in, ch_all), acc),
-            jax.ShapeDtypeStruct((3, hidden), acc),
-            jax.ShapeDtypeStruct((hidden,), acc),
-            jax.ShapeDtypeStruct((n_layers - 1, hidden, 2 * hidden), acc),
-            jax.ShapeDtypeStruct((n_layers - 1, 2 * hidden), acc),
-            jax.ShapeDtypeStruct((hidden, 3), acc),
-            jax.ShapeDtypeStruct((3,), acc),
-        )
-        wspec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
-        out_specs = (
-            pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
-                         lambda ib, it: (ib, it, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ) + tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6)
-        return pl.pallas_call(
-            kern, grid=grid,
-            in_specs=[
-                pl.BlockSpec((None, tile_h, w_out, 3),
-                             lambda ib, it: (0, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
-                             lambda ib, it: (ib, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + wspec + [
-                pl.BlockSpec((1, tile_h, w_out, 3),
-                             lambda ib, it: (ib, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_specs,
-            out_shape=out_shape,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )
-
-    g_arr = jnp.asarray(rng.standard_normal((b, h_out, w_out, 3)),
-                        jnp.float32)
-    bwd_fl = 2 * fwd_fl  # recompute + 2x backprop matmuls ~ 3x fwd; report 2x
-    for tile_h, cat_mm, dz_sliced in ((16, True, True), (16, True, False),
-                                      (16, False, True), (16, False, False),
-                                      (8, False, False)):
-        call = make_bwd(tile_h, cat_mm, dz_sliced)
-
-        @jax.jit
-        def runb(z, syn, g, call=call):
-            return call(syn[None], z, params["w0"], params["b0"],
-                        params["wkq"], params["bkq"], params["wq"],
-                        params["bq"], params["wl"], params["bl"],
-                        wcat_w, bcat_b, g)
-
-        try:
-            dt = timeit(lambda: runb(z, syn, g_arr), args.iters,
-                        lambda o: float(jnp.sum(o[0][0, 0, 0])))
-            rec(f"bwd_t{tile_h}_cat{int(cat_mm)}_slc{int(dz_sliced)}",
-                dt, 3 * fwd_fl)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"name": f"bwd_t{tile_h}_c{int(cat_mm)}"
-                              f"_s{int(dz_sliced)}",
-                              "error": str(e)[:300]}), flush=True)
-
-    if os.environ.get("PROBE_BWD_ONLY", "1") == "1":
-        print(json.dumps({"rows": len(rows)}))
-        return
-
-    # ---- round 2: VPU-oriented variants -------------------------------
-    # brepeat: never materialize the repeated (M, C_all) tile; add the LR
-    # block broadcast per layer. sin7: degree-7 poly (err ~1e-5, far below
-    # bf16 matmul noise). best: brepeat + sin7 + cast-once.
-    _S7 = (9.99996606e-01, -1.66624563e-01, 8.30631503e-03, -1.83627485e-04)
-
-    def _sin7(x):
-        inv2pi = 0.15915494309189535
-        n = jnp.round(x * inv2pi)
-        r = x - n * 6.2831855 - n * (-1.7484555e-07)
-        r2 = r * r
-        acc = jnp.float32(_S7[-1])
-        for c in _S7[-2::-1]:
-            acc = acc * r2 + jnp.float32(c)
-        return r * acc
-
-    def make_fwd2(tile_h, variant):
-        n_l, hid = n_layers, hidden
-        r_rows = tile_h // s_h
-
-        def kern(syn_ref, z_ref, w0_ref, b0_ref, wkq_ref, bkq_ref,
-                 wq_ref, bq_ref, wl_ref, bl_ref, wcat_ref, out_ref):
-            f32 = jnp.float32
-            cdt = jnp.bfloat16
-            sinf = _sin7 if "sin7" in variant else _poly_sin
-            z = z_ref[0]  # (R, W_in, C_all) bf16
-            synt = syn_ref[...].reshape(tile_h * w_out, 3)
-            m = tile_h * w_out
-
-            def badd(flat, zi_lr):
-                # flat (M, hid) f32 + broadcast LR block (R, W_in, hid)
-                v = flat.reshape(r_rows, s_h, w_in, s_w, hid)
-                v = v + zi_lr[:, None, :, None, :].astype(f32)
-                return v.reshape(m, hid)
-
-            k0 = jax.nn.relu(z[:, :, :hid].astype(f32))  # LR-res relu
-            q0 = jax.lax.dot_general(synt.astype(cdt), w0_ref[...],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=f32)
-            s0 = sinf(q0 + b0_ref[...].astype(f32))
-            q = (s0.reshape(r_rows, s_h, w_in, s_w, hid)
-                 * k0[:, None, :, None, :]).reshape(m, hid)
-            for i in range(1, n_l):
-                zi = z[:, :, i * hid:(i + 1) * hid]
-                qb = q.astype(cdt)
-                both = jax.lax.dot_general(
-                    qb, wcat_ref[i - 1], (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
-                kq, qq = both[:, :hid], both[:, hid:]
-                k = jax.nn.relu(badd(kq + bkq_ref[i - 1].astype(f32), zi))
-                sv = sinf(qq + bq_ref[i - 1].astype(f32))
-                q = k * sv
-            out = jax.lax.dot_general(q.astype(cdt), wl_ref[...],
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=f32)
-            out_ref[0] = (out + bl_ref[...].astype(f32)).reshape(
-                tile_h, w_out, 3).astype(out_ref.dtype)
-
-        grid = (b, h_out // tile_h)
-        wspec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
-        return pl.pallas_call(
-            kern, grid=grid,
-            in_specs=[
-                pl.BlockSpec((None, tile_h, w_out, 3),
-                             lambda ib, it: (0, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
-                             lambda ib, it: (ib, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + wspec,
-            out_specs=pl.BlockSpec((1, tile_h, w_out, 3),
-                                   lambda ib, it: (ib, it, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3),
-                                           jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )
-
-    for tile_h in (16, 32):
-        for variant in ("brepeat", "brepeat_sin7"):
-            call = make_fwd2(tile_h, variant)
-
-            @jax.jit
-            def run2(z, syn, call=call):
-                return call(syn[None], z, params["w0"], params["b0"],
-                            params["wkq"], params["bkq"], params["wq"],
-                            params["bq"], params["wl"], params["bl"], wcat)
-
-            try:
-                dt = timeit(lambda: run2(z, syn), args.iters,
-                            lambda o: float(jnp.sum(o[0, 0, 0])))
-                rec(f"fwd2_t{tile_h}_{variant}", dt, fwd_fl)
-            except Exception as e:  # noqa: BLE001
-                print(json.dumps({"name": f"fwd2_t{tile_h}_{variant}",
-                                  "error": str(e)[:300]}), flush=True)
-
-    # ---- round 3: dual interleaved chains (MXU/VPU overlap) + bf16 elem ----
-    def make_fwd3(tile_h, variant):
-        n_l, hid = n_layers, hidden
-        r_rows = tile_h // s_h
-        nsplit = 2 if "dual" in variant else 1
-        bf16_elem = "b16" in variant
-
-        def kern(syn_ref, z_ref, w0_ref, b0_ref, wkq_ref, bkq_ref,
-                 wq_ref, bq_ref, wl_ref, bl_ref, wcat_ref, out_ref):
-            f32 = jnp.float32
-            cdt = jnp.bfloat16
-            edt = cdt if bf16_elem else f32
-            sinf = _sin7
-            z = z_ref[0]  # (R, W_in, C_all)
-            rs = r_rows // nsplit
-            m = rs * s_h * w_out
-
-            def badd(flat, zi_lr):
-                v = flat.reshape(rs, s_h, w_in, s_w, hid)
-                v = v + zi_lr[:, None, :, None, :].astype(flat.dtype)
-                return v.reshape(m, hid)
-
-            # independent per-split states
-            ks0, qs_ = [], []
-            for sp in range(nsplit):
-                zsp = z[sp * rs:(sp + 1) * rs]
-                k0 = jax.nn.relu(zsp[:, :, :hid].astype(edt))
-                synt = syn_ref[...].reshape(
-                    nsplit, m, 3)[sp] if nsplit > 1 else \
-                    syn_ref[...].reshape(m, 3)
-                q0 = jax.lax.dot_general(synt.astype(cdt), w0_ref[...],
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=f32)
-                s0 = sinf(q0 + b0_ref[...].astype(f32)).astype(edt)
-                q = (s0.reshape(rs, s_h, w_in, s_w, hid)
-                     * k0[:, None, :, None, :]).reshape(m, hid)
-                qs_.append(q)
-            for i in range(1, n_l):
-                boths = [jax.lax.dot_general(
-                    qs_[sp].astype(cdt), wcat_ref[i - 1],
-                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
-                    for sp in range(nsplit)]
-                news = []
-                for sp in range(nsplit):
-                    zi = z[sp * rs:(sp + 1) * rs, :,
-                           i * hid:(i + 1) * hid]
-                    kq = boths[sp][:, :hid].astype(edt)
-                    qq = boths[sp][:, hid:]
-                    k = jax.nn.relu(
-                        badd(kq + bkq_ref[i - 1].astype(edt), zi))
-                    sv = sinf(qq + bq_ref[i - 1].astype(f32)).astype(edt)
-                    news.append(k * sv)
-                qs_ = news
-            outs = [jax.lax.dot_general(qs_[sp].astype(cdt), wl_ref[...],
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=f32)
-                    + bl_ref[...].astype(f32) for sp in range(nsplit)]
-            out = outs[0] if nsplit == 1 else jnp.concatenate(outs, axis=0)
-            out_ref[0] = out.reshape(tile_h, w_out, 3).astype(out_ref.dtype)
-
-        grid = (b, h_out // tile_h)
-        wspec = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
-        return pl.pallas_call(
-            kern, grid=grid,
-            in_specs=[
-                pl.BlockSpec((None, tile_h, w_out, 3),
-                             lambda ib, it: (0, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_h // s_h, w_in, ch_all),
-                             lambda ib, it: (ib, it, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + wspec,
-            out_specs=pl.BlockSpec((1, tile_h, w_out, 3),
-                                   lambda ib, it: (ib, it, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, 3),
-                                           jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )
-
-    for tile_h, variant in ((16, "dual"), (32, "dual"), (16, "b16"),
-                            (16, "dual_b16"), (32, "dual_b16")):
-        call = make_fwd3(tile_h, variant)
-
-        @jax.jit
-        def run3(z, syn, call=call):
-            return call(syn[None], z, params["w0"], params["b0"],
-                        params["wkq"], params["bkq"], params["wq"],
-                        params["bq"], params["wl"], params["bl"], wcat)
-
-        try:
-            dt = timeit(lambda: run3(z, syn), args.iters,
-                        lambda o: float(jnp.sum(o[0, 0, 0])))
-            rec(f"fwd3_t{tile_h}_{variant}", dt, fwd_fl)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"name": f"fwd3_t{tile_h}_{variant}",
-                              "error": str(e)[:300]}), flush=True)
-
-    for tile_h in ():
-        for variant in ("plain", "wcat", "nosin", "nosin_wcat"):
-            call = make_fwd(tile_h, variant)
-
-            @jax.jit
-            def run(z, syn, call=call):
-                return call(syn[None], z, params["w0"], params["b0"],
-                            params["wkq"], params["bkq"], params["wq"],
-                            params["bq"], params["wl"], params["bl"], wcat)
-
-            try:
-                dt = timeit(lambda: run(z, syn), args.iters,
-                            lambda o: float(jnp.sum(o[0, 0, 0])))
-                rec(f"fwd_t{tile_h}_{variant}", dt, fwd_fl)
-            except Exception as e:  # noqa: BLE001
-                print(json.dumps({"name": f"fwd_t{tile_h}_{variant}",
-                                  "error": str(e)[:200]}), flush=True)
-
-    print(json.dumps({"rows": len(rows)}))
+    for name, fn, fl in (("fwd", fwd, fwd_fl),
+                         ("fwd_bwd", fwdbwd, 3 * fwd_fl)):
+        dt = timeit(lambda: fn(z, syn), args.iters,
+                    lambda o: float(jnp.sum(o[0, 0, 0])))
+        print(json.dumps({
+            "name": name, "ms": round(dt * 1e3, 3),
+            "hr_chain_tflops_per_s": round(fl / dt / 1e12, 1),
+            "pct_of_197tf_peak": round(fl / dt / 197e12 * 100, 1),
+            "matmul_sol_ms": round(fl / 197e12 * 1e3, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

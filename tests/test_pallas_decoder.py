@@ -159,6 +159,20 @@ def test_fused_decode_stripe_matches_xla():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_lr_features_stacked_matches_concat():
+    """The fused-path glue (ONE cout=L*hidden conv from concatenated
+    kernels) computes exactly concat(lr_features) — same function, no
+    75 MB output concat."""
+    fused, plain = _dec_pair()
+    feat, params = _feat_params(plain)
+    zs = plain.apply(params, feat, method=ImplicitDecoder.lr_features)
+    want = jnp.concatenate(list(zs), axis=-1)
+    got = plain.apply(params, feat,
+                      method=ImplicitDecoder.lr_features_stacked)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fused_ok_vmem_boundary():
     """The VMEM size gates of _fused_ok at their exact boundaries."""
     dec = ImplicitDecoder(in_channels=64, hidden_dims=(256,) * 4,
