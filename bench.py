@@ -17,9 +17,14 @@ import json
 import time
 
 # First recorded single-chip measurement of this framework (round 1, TPU
-# v5e-1, XLA path, bf16 compute): 4.92M decoded pixels/s fwd+bwd at x4.
-# Later rounds report speedups relative to this anchor.
+# v5e-1, XLA path, bf16 compute, batch=8): 4.92M decoded pixels/s fwd+bwd
+# at x4. Later rounds report speedups relative to this anchor. NOTE the
+# baseline ran at batch 8 while the bench now runs at batch 16, so
+# vs_baseline mixes the kernel speedup with the batch amortisation; the
+# matched-condition (B=8) comparison lives in PERF.md, and the JSON also
+# reports vs_baseline_matched_batch when the B=8 number is available.
 BENCH_BASELINE_PIX_S = 4.92e6
+BENCH_BASELINE_BATCH = 8
 
 
 def main():
@@ -79,6 +84,7 @@ def main():
         "unit": "pixels/s",
         "vs_baseline": round(vs, 3),
         "batch": batch,
+        "baseline_batch": BENCH_BASELINE_BATCH,
         "steps_per_s": round(iters / dt, 2),
         "model_tflops_per_s": round(fl["total"] / step_t / 1e12, 1),
         "mfu_bf16": round(F.mfu(fl["total"], step_t), 3),

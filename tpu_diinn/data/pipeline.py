@@ -61,6 +61,15 @@ def train_batches(dataset, *, batch_size: int, epoch: int, seed: int = 123,
     n = len(dataset) * repeat
     order = np.random.default_rng(
         np.random.SeedSequence([seed, epoch])).permutation(n)
+    if num_shards > 1:
+        # Truncate the GLOBAL order to a multiple of num_shards*batch before
+        # sharding: every host then yields exactly the same number of
+        # batches per epoch. Sharding first and dropping the remainder per
+        # host can give hosts different step counts when len(order) isn't
+        # divisible — one host would enter the next collective alone and
+        # hang the whole job at epoch end.
+        stride = num_shards * batch_size
+        order = order[:(len(order) // stride) * stride]
     order = order[shard_index::num_shards]
     usable = (len(order) // batch_size) * batch_size if drop_last else len(order)
     order = order[:usable]

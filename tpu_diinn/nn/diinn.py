@@ -145,12 +145,15 @@ class ImplicitDecoder(nn.Module):
             import jax
             if jax.default_backend() not in ("tpu", "axon"):
                 return False
-            if ch_all % 128:
+            if ch_all % 128 or hid % 128:
                 # Mosaic can only relayout the kernel's (H_in, W_in, C_all)
                 # -> (H_in, W_in*C_all) collapse when the minor dim is a
-                # multiple of the 128-wide lane registers; narrower configs
-                # auto-route to the XLA path. (Explicit use_fused=True skips
-                # this gate: CPU interpret-mode tests run any width.)
+                # multiple of the 128-wide lane registers, and the bwd
+                # kernel writes per-layer dz bands at lane offsets i*hidden
+                # — both the total stack AND the per-layer width must be
+                # lane-aligned; narrower configs auto-route to the XLA path.
+                # (Explicit use_fused=True skips this gate: CPU interpret-
+                # mode tests run any width.)
                 return False
         h_in, w_in = in_size
         h_out, w_out = size
@@ -207,7 +210,10 @@ class ImplicitDecoder(nn.Module):
         bcat = jnp.concatenate(
             [bias, jnp.zeros((wcat.shape[-1] - bias.shape[0],),
                              bias.dtype)])
-        dt = self.dtype or feat.dtype
+        # dtype=None must mirror flax promote_dtype (result_type of input
+        # and params), or a bf16 feat would compute here in bf16 while the
+        # per-layer Conv modules it replaces compute in fp32.
+        dt = self.dtype or jnp.result_type(feat.dtype, wcat.dtype)
         y = jax.lax.conv_general_dilated(
             feat.astype(dt), wcat.astype(dt), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

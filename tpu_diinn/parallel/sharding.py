@@ -104,6 +104,50 @@ def sharded_encoder_apply(encoder, params, x: Array, mesh: Mesh,
         check_vma=False)(params, x)
 
 
+
+# jitted decode closures keyed by (net, size, mesh): flax modules are frozen
+# dataclasses (hashable) and Mesh hashes by device layout, so repeated
+# library calls at one shape reuse ONE compiled program instead of re-jitting
+# a fresh closure per invocation.
+_DECODE_CACHE: dict = {}
+
+
+def _decode_fn(net, size: Tuple[int, int], mesh: Mesh):
+    key = (net, tuple(size), mesh)
+    if key in _DECODE_CACHE:
+        return _DECODE_CACHE[key]
+    n_space = mesh.shape["space"]
+    h_out, w_out = size
+
+    if w_out % n_space == 0 or n_space == 1:
+        out_spec = NamedSharding(mesh, P("data", None, "space", None))
+
+        @jax.jit
+        def run(params, x):
+            out = net.apply(params, x, size)
+            return jax.lax.with_sharding_constraint(out, out_spec)
+    else:
+        stripe_w = -(-w_out // n_space)
+        encode_fn, stripe_fn = _stripe_fns(net, size, stripe_w)
+
+        def local(params, feat):
+            start = jax.lax.axis_index("space") * stripe_w
+            return stripe_fn(params, feat, start)
+
+        @jax.jit
+        def run(params, x):
+            feat = encode_fn(params, x)
+            out = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=P(None, None, "space", None),
+                check_vma=False)(params, feat)
+            return out[:, :, :w_out]
+
+    _DECODE_CACHE[key] = run
+    return run
+
+
 def decode_sharded(net, params, x: Array, size: Tuple[int, int],
                    mesh: Mesh) -> Array:
     """Full query-sharded inference: replicated encoder input, HR output
@@ -116,40 +160,9 @@ def decode_sharded(net, params, x: Array, size: Tuple[int, int],
     — every device decodes an equal-width stripe, the overhang repeating the
     last column and sliced off after the gather.
     """
-    n_space = mesh.shape["space"]
-    h_out, w_out = size
-    in_sh = NamedSharding(mesh, P())
     x = jax.device_put(x, NamedSharding(mesh, P("data")))
-    params = jax.device_put(params, in_sh)
-
-    if w_out % n_space == 0 or n_space == 1:
-        out_spec = NamedSharding(mesh, P("data", None, "space", None))
-
-        @jax.jit
-        def run(params, x):
-            out = net.apply(params, x, size)
-            return jax.lax.with_sharding_constraint(out, out_spec)
-
-        return run(params, x)
-
-    stripe_w = -(-w_out // n_space)
-    encode_fn, stripe_fn = _stripe_fns(net, size, stripe_w)
-
-    def local(params, feat):
-        start = jax.lax.axis_index("space") * stripe_w
-        return stripe_fn(params, feat, start)
-
-    @jax.jit
-    def run(params, x):
-        feat = encode_fn(params, x)
-        out = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(), P()),
-            out_specs=P(None, None, "space", None),
-            check_vma=False)(params, feat)
-        return out[:, :, :w_out]
-
-    return run(params, x)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    return _decode_fn(net, size, mesh)(params, x)
 
 
 def _stripe_fns(net, size: Tuple[int, int], stripe_w: int):

@@ -123,7 +123,11 @@ def export_params_npz(ckpt_path: str, out_path: str,
         else state
     payload = {}
     for key, arr in _flatten(params).items():
-        if np.issubdtype(arr.dtype, np.floating):
+        # np.issubdtype misses ml_dtypes floats (bfloat16 etc.): those must
+        # also go through the bf16 pack, or numpy would pickle the custom
+        # dtype and load_params_npz (allow_pickle=False) couldn't read it.
+        if (np.issubdtype(arr.dtype, np.floating)
+                or arr.dtype == ml_dtypes.bfloat16):
             payload[_BF16 + key] = arr.astype(ml_dtypes.bfloat16).view(
                 np.uint16)
         else:
