@@ -1,0 +1,79 @@
+"""REAL multi-process jax.distributed run (round-4 verdict #5).
+
+Spawns two OS processes (tests/multihost_worker.py), each with 2 virtual
+CPU devices, joined through jax.distributed + gloo collectives — the same
+code path a multi-host TPU pod uses (``configs/default.yaml:70-72``'s DDP
+equivalent). Verifies:
+
+- ``maybe_init_distributed`` brings up a 2-process global topology,
+- the host-sharded data feed + ``make_array_from_process_local_data``
+  branch of ``shard_batch`` executes,
+- two optimizer steps produce the same parameters as a single-process
+  4-device data-parallel run (up to collective reduction order).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests import multihost_worker as W
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_run_matches_single_process(tmp_path):
+    port = _free_port()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "TPU_DIINN_"))}
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(root, "tests",
+                                          "multihost_worker.py"),
+             str(i), "2", str(port), str(tmp_path)],
+            cwd=root, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    assert (tmp_path / "done0.json").exists(), outs[0][-3000:]
+
+    got = dict(np.load(tmp_path / "params0.npz"))
+
+    # single-process reference: same global batch on a 4-device 'data' mesh
+    from tpu_diinn.config.config import load_config
+    from tpu_diinn.train import loop
+    cfg = load_config(None, W.CFG + [
+        f"trainer.ckpt_dir={tmp_path}/ckpt_ref",
+        f"trainer.log_dir={tmp_path}/log_ref",
+        "trainer.mesh_data=4",
+    ])
+    state = loop.train(cfg, max_steps=W.N_STEPS, log_fn=lambda *a: None)
+    from tpu_diinn.train.checkpoint import _flatten
+    import jax
+    want = {k: np.asarray(v)
+            for k, v in _flatten(jax.device_get(state.params)).items()}
+
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=1e-4, atol=1e-5,
+            err_msg=f"param divergence at {k}")

@@ -5,20 +5,27 @@
 
 Evaluates PSNR/SSIM/LR-PSNR per scale on the benchmark sets
 (reference defaults: B100/Set5/Set14/Urban100 at scales {3.14, 4, 8},
-``benchmarks.py:12``).
+``benchmarks.py:12``). Dataset assembly goes through
+``loop.make_test_datasets`` (the config-driven path, reference
+``sr_datamodule.py:110-135``), with the CLI flags mapped onto
+``cfg.data.testsets`` / ``cfg.data.test_scales``.
+
+By default DIINN checkpoints are evaluated through the bucketed
+static-shape path (``train/bucketed.py``): images are padded to a small
+set of bucket canvases so the whole run costs a handful of TPU compiles
+instead of one per image shape. ``--eval_buckets 0`` restores the exact
+per-shape jit.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import time
 
-from tpu_diinn.config.config import Config, load_config
-from tpu_diinn.data.datasets import SRDatasetDownsample
-from tpu_diinn.nn.registry import make_net
+from tpu_diinn.config.config import load_config
 from tpu_diinn.train import loop
 from tpu_diinn.train.checkpoint import load_params
-from tpu_diinn.train.task import SRTask
 
 
 def main(argv=None):
@@ -30,6 +37,9 @@ def main(argv=None):
     p.add_argument("--testsets", type=str, nargs="+",
                    default=["B100", "Set5", "Set14", "Urban100"])
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--eval_buckets", type=int, default=64, metavar="QUANTUM",
+                   help="bucket quantum for static-shape eval (0 = exact "
+                        "per-shape jit)")
     args, overrides = p.parse_known_args(argv)
     from tpu_diinn.config.platform import apply_platform_env
     apply_platform_env()
@@ -46,12 +56,27 @@ def main(argv=None):
         task = loop.build_task(cfg)
         params = state["params"] if isinstance(state, dict) else state.params
 
+    # CLI flags drive the config-level dataset assembly (make_test_datasets)
+    cfg.data.root = args.root
+    cfg.data.test_scales = list(args.scales)
+    cfg.data.testsets = [
+        ("DIV2K", "train") if name == "DIV2K" else ("benchmark", name)
+        for name in args.testsets]
+    datasets = loop.make_test_datasets(cfg)
+
+    jit_cache = None
+    if args.eval_buckets and not args.bicubic_test:
+        from tpu_diinn.train.bucketed import BucketedEval, BucketedUnsupported
+        try:
+            jit_cache = BucketedEval(task, quantum=args.eval_buckets)
+        except BucketedUnsupported as e:
+            print(f"[bucketed eval unavailable: {e}; exact-shape jit]")
+    if jit_cache is None:
+        jit_cache = loop.EvalJit(task)
+
     results = {}
-    jit_cache = loop.EvalJit(task)
-    for name in args.testsets:
-        ds = SRDatasetDownsample(root=args.root, name="benchmark", split=name,
-                                 scales=args.scales, patch_size=0,
-                                 augment=False)
+    t0 = time.time()
+    for name, ds in datasets.items():
         if len(ds) == 0:
             print(f"[skip] {name}: no images under {args.root}")
             continue
@@ -60,6 +85,9 @@ def main(argv=None):
                                 jit_cache=jit_cache)
         results[name] = res
         print(name, json.dumps(res, indent=2))
+    if hasattr(jit_cache, "n_programs"):
+        print(f"[bucketed eval: {jit_cache.n_programs} compiled programs, "
+              f"{time.time() - t0:.1f}s total]")
     print(json.dumps(results))
     return results
 

@@ -45,6 +45,36 @@ def _save_image(x, path: str) -> None:
     print("wrote", path)
 
 
+def _predict(task, params, lr, size, args) -> np.ndarray:
+    """Full-image prediction with automatic out-of-core fallback.
+
+    When the estimated device footprint of a monolithic decode (LR feature
+    stack + HR output + synthesis grid) exceeds ``--streaming_hbm_gb``, or
+    ``--streaming on`` is passed, DIINN decodes go through
+    ``train/streaming.predict_streaming`` — row bands are decoded on device
+    and assembled in host RAM, so device memory is O(band) no matter how
+    large the output (demo2-style x20+ outputs, round-4 verdict #2)."""
+    from tpu_diinn.nn.diinn import DIINN
+    h_out, w_out = size
+    budget = args.streaming_hbm_gb * 1e9
+    if args.streaming != "off" and isinstance(task.net, DIINN):
+        h, w = lr.shape[1:3]
+        n_ch = sum(task.net.hidden_dims)
+        est = (h * w * n_ch * 4.0            # LR content features (fp32)
+               + h_out * w_out * 3 * 4.0 * 2)  # HR output + synthesis grid
+        if args.streaming == "on" or est > budget:
+            from tpu_diinn.train.streaming import predict_streaming
+            band = int(budget / 8 / max(w_out * (n_ch + 6 * 256) * 4, 1))
+            band = max(32, min(h_out, band))
+            print(f"[streaming decode: est {est/1e9:.2f} GB > budget "
+                  f"{budget/1e9:.2f} GB, band_rows={band}]"
+                  if args.streaming != "on" else
+                  f"[streaming decode: band_rows={band}]")
+            return predict_streaming(task.net, params, lr, size,
+                                     band_rows=band)
+    return np.asarray(task.predict(params, lr, size))
+
+
 def _build(args, overrides):
     if args.model_name == "bicubic":
         cfg = load_config(None, ["model.arch=bicubic"] + overrides)
@@ -68,6 +98,12 @@ def main(argv=None):
     p.add_argument("--d_scale", type=float, default=4)
     p.add_argument("--scales", type=float, nargs="+", default=[2, 4])
     p.add_argument("--out_dir", type=str, default=None)
+    p.add_argument("--streaming", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="out-of-core row-band decode: auto = when the "
+                        "estimated device footprint exceeds "
+                        "--streaming_hbm_gb")
+    p.add_argument("--streaming_hbm_gb", type=float, default=4.0)
     args, overrides = p.parse_known_args(argv)
     from tpu_diinn.config.platform import apply_platform_env
     apply_platform_env()
@@ -75,7 +111,7 @@ def main(argv=None):
 
     if args.command == "sr":
         lr = _load_image(args.lr_path)
-        sr = task.predict(params, lr, tuple(args.output_size))
+        sr = _predict(task, params, lr, tuple(args.output_size), args)
         stem = os.path.splitext(os.path.basename(args.lr_path))[0]
         out = args.out_dir or os.path.join(
             os.path.dirname(args.lr_path) or ".", args.model_name)
@@ -91,7 +127,7 @@ def main(argv=None):
             os.path.dirname(args.hr_path) or ".", args.model_name)
         for s in args.scales:
             size = (int(round(lr_size[0] * s)), int(round(lr_size[1] * s)))
-            sr = task.predict(params, lr, size)
+            sr = _predict(task, params, lr, size, args)
             _save_image(sr, os.path.join(
                 out, f"{args.model_name}_{stem}_x{s:g}.png"))
     elif args.command == "cycle":
@@ -102,7 +138,7 @@ def main(argv=None):
             os.path.dirname(args.hr_path) or ".", args.model_name)
         for s in args.scales:
             lr = resize_np(hr, resize_by_scale_size(size, s))
-            sr = task.predict(params, lr, tuple(size))
+            sr = _predict(task, params, lr, tuple(size), args)
             _save_image(sr, os.path.join(
                 out, f"{args.model_name}_{stem}_cycle_x{s:g}.png"))
 

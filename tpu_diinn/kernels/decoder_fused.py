@@ -696,6 +696,82 @@ def _decode_bwd(interpret, res, g):
 _decode_core.defvjp(_decode_fwd, _decode_bwd)
 
 
+def _int2d_tiles(s_h: int, s_w: int, m_target: int = 4096
+                 ) -> Tuple[int, int]:
+    """(LR rows, LR cols) per program for the 2-D tiled integer-ratio eval
+    kernel: output tile M = s_h*r_t * s_w*wc ~= m_target queries — enough to
+    fill the MXU (M x 256 x 512 GEMMs) while the fp32 activation chain stays
+    ~16 MB of VMEM regardless of image size."""
+    wc = max(8, min(64, m_target // (s_h * s_w)))
+    r_t = max(1, m_target // (s_h * s_w * wc))
+    return r_t, wc
+
+
+def decode_fused_int_eval(z: Array, syn: Array, out_size: Tuple[int, int],
+                          params, *, interpret=None,
+                          m_target: int = 4096) -> Array:
+    """Full-image integer-ratio fused decode with 2-D (row, column) tiling.
+
+    Unlike ``decode_fused``'s training kernel (full-width tiles, VMEM-gated
+    on width), each program here stages an (r_t, wc) LR patch and decodes
+    its (s_h*r_t, s_w*wc) output tile, so VMEM use is O(tile) — benchmark-
+    sized full images (reference eval protocol, ``sr_module.py:159-180``)
+    run the kernel instead of falling back to the XLA path. LR dims are
+    zero-padded up to tile multiples and the output sliced back; forward
+    only (eval paths take no grad).
+    """
+    b, h_in, w_in, ch_all = z.shape
+    h_out, w_out = out_size
+    s_h, s_w = h_out // h_in, w_out // w_in
+    assert h_out == s_h * h_in and w_out == s_w * w_in, (out_size, z.shape)
+    n_layers = params["wkq"].shape[0] + 1
+    hidden = params["w0"].shape[1]
+    r_t, wc = _int2d_tiles(s_h, s_w, m_target)
+    h_p = -(-h_in // r_t) * r_t
+    w_p = -(-w_in // wc) * wc
+    if (h_p, w_p) != (h_in, w_in):
+        z = jnp.pad(z, ((0, 0), (0, h_p - h_in), (0, w_p - w_in), (0, 0)))
+        syn = jnp.pad(syn, ((0, s_h * h_p - h_out),
+                            (0, s_w * w_p - w_out), (0, 0)))
+    tile_h, tile_w = s_h * r_t, s_w * wc
+    grid = (b, h_p // r_t, w_p // wc)
+    wcat, bcat = _cat_weights(params["w0"], params["b0"],
+                              params["wkq"], params["bkq"],
+                              params["wq"], params["bq"])
+    kern = functools.partial(
+        _fwd_kernel_int, n_layers=n_layers, hidden=hidden, s_h=s_h, s_w=s_w,
+        w_out=tile_w, tile_h=tile_h)
+    flops = 2 * b * (s_h * h_p) * (s_w * w_p) * (
+        3 * hidden + (n_layers - 1) * 2 * hidden * hidden + hidden * 3)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, tile_h, tile_w, 3),
+                         lambda ib, it, ic: (0, it, ic, 0),
+                         memory_space=pltpu.VMEM),       # syn tile
+            pl.BlockSpec((1, r_t, wc, ch_all),
+                         lambda ib, it, ic: (ib, it, ic, 0),
+                         memory_space=pltpu.VMEM),       # z patch
+        ] + _weight_specs(),
+        out_specs=pl.BlockSpec((1, tile_h, tile_w, 3),
+                               lambda ib, it, ic: (ib, it, ic, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_h * h_p, s_w * w_p, 3),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=z.size * 2,
+            transcendentals=b * h_out * w_out * hidden * n_layers),
+        interpret=_auto_interpret(interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(syn.astype(jnp.float32)[None], z,
+      params["w0"], params["b0"], wcat, bcat, params["wl"], params["bl"])
+    if (h_p, w_p) != (h_in, w_in):
+        out = out[:, :h_out, :w_out]
+    return out
+
+
 def _auto_interpret(interpret) -> bool:
     """interpret=None resolves by backend: compiled on TPU, interpreter on
     CPU — so module-level fused paths are testable on the CPU mesh."""

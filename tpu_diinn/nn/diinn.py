@@ -133,6 +133,18 @@ class ImplicitDecoder(nn.Module):
         features plus one (tile_h x W_out) activation chain must fit; large
         full-grid decodes go through the XLA/window paths instead.
         """
+        if not self._fused_config_ok():
+            return False
+        hid = self.hidden_dims[0]
+        ch_all = len(self.hidden_dims) * hid
+        h_in, w_in = in_size
+        h_out, w_out = size
+        z_bytes = h_in * w_in * ch_all * 2          # bf16 LR stack, in VMEM
+        tile_bytes = 16 * w_out * (ch_all + 6 * hid) * 4  # fp32 tile chain
+        return z_bytes <= 24 * 1024 * 1024 and tile_bytes <= 48 * 1024 * 1024
+
+    def _fused_config_ok(self) -> bool:
+        """Config (not size) eligibility for the fused Pallas kernels."""
         if self.use_fused is False:
             return False
         ok = (self.mode == 3 and not self.init_q and not self.exact_sin
@@ -155,11 +167,7 @@ class ImplicitDecoder(nn.Module):
                 # (Explicit use_fused=True skips this gate: CPU interpret-
                 # mode tests run any width.)
                 return False
-        h_in, w_in = in_size
-        h_out, w_out = size
-        z_bytes = h_in * w_in * ch_all * 2          # bf16 LR stack, in VMEM
-        tile_bytes = 16 * w_out * (ch_all + 6 * hid) * 4  # fp32 tile chain
-        return z_bytes <= 24 * 1024 * 1024 and tile_bytes <= 48 * 1024 * 1024
+        return True
 
     def _fused_params(self) -> dict:
         dt = self.dtype or jnp.float32
@@ -296,10 +304,26 @@ class ImplicitDecoder(nn.Module):
                 return self.hr_step_init_q(gath[0], syn)
             return self.hr_step(gath, syn)
 
-        # Memory-bounded eval: serial column chunks of bsize//H_out pixels
-        # (reference batched_step, diinn.py:149-160); plain gathers, no grad.
+        # Memory-bounded eval. Integer ratios (the benchmark protocol's
+        # x2/x3/x4/x8) take the 2-D tiled fused kernel: per-program VMEM is
+        # O(tile) by construction, so FULL benchmark images run the kernel
+        # (round-4 verdict #4) with no serial chunk loop at all.
+        s_h, rem_h = divmod(h_out, h_in)
+        s_w, rem_w = divmod(w_out, w_in)
+        if (rem_h == 0 and rem_w == 0 and 1 <= s_h <= 16 and 1 <= s_w <= 16
+                and self._fused_config_ok() and not self.is_initializing()):
+            from tpu_diinn.kernels.decoder_fused import decode_fused_int_eval
+            z = self.lr_features_stacked(feat)
+            out = decode_fused_int_eval(z, syn_full.astype(jnp.float32),
+                                        (h_out, w_out), self._fused_params())
+            return out.astype(z.dtype)
+        # Otherwise: serial column chunks of bsize//H_out pixels (reference
+        # batched_step, diinn.py:149-160); each chunk stages only its LR
+        # column range into the fused window kernel when eligible.
         chunk = max(1, bsize // h_out)
-        if self._fused_ok((h_in, w_in), (h_out, min(chunk, w_out))) \
+        cols_per_chunk = min(chunk * w_in // max(w_out, 1) + 2, w_in)
+        if self._fused_ok((h_in, cols_per_chunk),
+                          (h_out, min(chunk, w_out))) \
                 and not self.is_initializing():
             # stacked LR conv computed ONCE, shared by every fused chunk
             zcat, zs = self.lr_features_stacked(feat), None
@@ -355,6 +379,40 @@ class ImplicitDecoder(nn.Module):
             return self.hr_step_init_q(gath[0], syn)
         return self.hr_step(gath, syn)
 
+    def decode_traced(self, feat: Array, syn: Array, rows: Array,
+                      cols: Array, bsize: Optional[int] = None) -> Array:
+        """Decode with externally-supplied gather indices and synthesis grid.
+
+        The unit of bucketed static-shape eval (train/bucketed.py): ``syn``
+        (H_out, W_out, 3), ``rows`` (H_out,) int32 and ``cols`` (W_out,)
+        int32 may be *traced* values — the compiled program depends only on
+        the (padded) shapes, so images of different true sizes share one
+        program. Row-band chunked when ``bsize`` is set (same memory
+        contract as the reference batched_step, ``diinn.py:149-160``).
+        Modes 1-3 (+ init_q); mode 4's window conv is chunk-dependent and
+        stays on the exact-shape path.
+        """
+        assert self.mode != 4, "bucketed decode does not support mode 4"
+        b = feat.shape[0]
+        h_out, w_out = syn.shape[0], syn.shape[1]
+        zs = self.lr_features(feat)
+        band = h_out if bsize is None else max(1, bsize // max(w_out, 1))
+
+        def decode_band(lo, hi):
+            r = rows[lo:hi]
+            gath = tuple(
+                None if z is None else
+                jnp.take(jnp.take(z, r, axis=1), cols, axis=2)
+                for z in zs)
+            syn_b = jnp.broadcast_to(syn[None, lo:hi], (b, hi - lo, w_out, 3))
+            if self.init_q:
+                return self.hr_step_init_q(gath[0], syn_b)
+            return self.hr_step(gath, syn_b)
+
+        outs = [decode_band(lo, min(lo + band, h_out))
+                for lo in range(0, h_out, band)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
     def decode_window(self, feat: Array, size: Tuple[int, int],
                       row_lo: int, row_hi: int, col_lo: int, col_hi: int,
                       _zs=None, _zcat=None) -> Array:
@@ -372,17 +430,30 @@ class ImplicitDecoder(nn.Module):
         h_out, w_out = size
         syn_full = grids.syn_input_grid((h_in, w_in), (h_out, w_out),
                                         dtype=feat.dtype)
-        if self._fused_ok((h_in, w_in), (row_hi - row_lo, col_hi - col_lo)) \
+        # The window's static bounds fix the LR rows/cols it can gather:
+        # stage only that patch into the kernel (z sliced on the XLA side,
+        # gather matrices column-restricted), so the VMEM gate scales with
+        # the WINDOW, not the whole feature map — benchmark-sized images
+        # keep the fused path on their chunked/streaming evals.
+        ridx = grids.nearest_exact_indices(h_in, h_out)[row_lo:row_hi]
+        cidx = grids.nearest_exact_indices(w_in, w_out)[col_lo:col_hi]
+        r0, r1 = int(ridx[0]), int(ridx[-1]) + 1
+        c0, c1 = int(cidx[0]), int(cidx[-1]) + 1
+        if self._fused_ok((r1 - r0, c1 - c0),
+                          (row_hi - row_lo, col_hi - col_lo)) \
                 and not self.is_initializing():
             # The fused kernel's gathers are one-hot matmuls, so a window
             # decode is the same kernel with sliced gather matrices — the
             # chunked-eval / streaming / out-of-core paths all hit it.
             from tpu_diinn.kernels.decoder_fused import decode_fused_window
             z = _zcat if _zcat is not None else self.lr_features_stacked(feat)
-            srow = grids.nearest_exact_onehot(h_in, h_out)[row_lo:row_hi]
-            scol = grids.nearest_exact_onehot(w_in, w_out)[col_lo:col_hi]
+            srow = grids.nearest_exact_onehot(h_in, h_out)[row_lo:row_hi,
+                                                           r0:r1]
+            scol = grids.nearest_exact_onehot(w_in, w_out)[col_lo:col_hi,
+                                                           c0:c1]
             out = decode_fused_window(
-                z, syn_full[row_lo:row_hi, col_lo:col_hi].astype(jnp.float32),
+                z[:, r0:r1, c0:c1],
+                syn_full[row_lo:row_hi, col_lo:col_hi].astype(jnp.float32),
                 self._fused_params(), jnp.asarray(srow), jnp.asarray(scol))
             return out.astype(z.dtype)
         zs = _zs if _zs is not None else self.lr_features(feat)

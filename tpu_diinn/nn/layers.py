@@ -122,21 +122,24 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from tpu_diinn.nn.masking import apply_valid_mask, masking_active
         in_ch = x.shape[-1]
         k = self.kernel_size
         fan_in = k * k * in_ch
         pad = (k - 1) // 2
         padding = "SAME"
         if self.halo_axis is not None and pad > 0:
+            assert not masking_active(), \
+                "valid-extent masking is not supported inside halo shard_map"
             from tpu_diinn.parallel.sharding import halo_exchange
             x = halo_exchange(x, pad, self.halo_axis, spatial_axis=1)
             padding = [(0, 0), (pad, pad)]  # VALID on H, SAME on W
         if self.lane_pack and k == 3 and self.features < 128:
             h_pad = (padding[0],) if isinstance(padding, list) else ((1, 1),)
-            return _LanePackedConv3x3(
+            return apply_valid_mask(_LanePackedConv3x3(
                 features=self.features, h_padding=h_pad,
-                use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
-        return nn.Conv(
+                use_bias=self.use_bias, dtype=self.dtype, name="conv")(x))
+        return apply_valid_mask(nn.Conv(
             features=self.features,
             kernel_size=(k, k),
             padding=padding,
@@ -145,7 +148,7 @@ class Conv(nn.Module):
             bias_init=torch_bias_init_for(fan_in),
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x))
 
 
 class Dense(nn.Module):
@@ -191,9 +194,13 @@ class MeanShift(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from tpu_diinn.nn.masking import apply_valid_mask
         mean = jnp.asarray(self.rgb_mean, dtype=x.dtype)
         std = jnp.asarray(self.rgb_std, dtype=x.dtype)
-        return x / std + self.sign * self.rgb_range * mean / std
+        # masked so the following conv still sees zeros beyond the true
+        # extent under bucketed (shape-padded) eval
+        return apply_valid_mask(
+            x / std + self.sign * self.rgb_range * mean / std)
 
 
 class ResBlock(nn.Module):

@@ -20,16 +20,31 @@ import jax
 from jax.sharding import Mesh
 
 
+_DIST_INITIALIZED = False
+
+
 def maybe_init_distributed() -> None:
-    """Initialize jax.distributed from standard env vars when present."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Initialize jax.distributed from standard env vars when present.
+
+    Must run BEFORE anything touches a jax backend: querying
+    ``jax.process_count()`` first (as a naive "already initialized?" check
+    would) creates the single-process backend and makes a later
+    ``distributed.initialize`` a no-op — which is why the guard here is a
+    module flag, not a backend query. On CPU platforms the cross-process
+    collective implementation is selected too (gloo), so a 2-process CPU
+    run exercises the same code path as multi-host TPU."""
+    global _DIST_INITIALIZED
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    if _DIST_INITIALIZED or not coord:
+        return
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu" or \
+            os.environ.get("TPU_DIINN_PLATFORM", "").strip() == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]))
+    _DIST_INITIALIZED = True
 
 
 def make_mesh(data: int = -1, space: int = 1,

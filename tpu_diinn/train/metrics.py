@@ -114,3 +114,85 @@ def lr_psnr(sr: Array, hr: Array, scale: float,
     """Cycle-consistency PSNR at the LR size (sr_module.py:170-175)."""
     size = resize_by_scale_size((hr.shape[-3], hr.shape[-2]), scale)
     return psnr(resize(sr, size), resize(hr, size), data_range)
+
+
+# ---------------------------------------------------------------------------
+# Masked variants for bucketed (shape-padded) eval: the image occupies the
+# top-left (h_v, w_v) corner of a padded static canvas, with h_v/w_v traced
+# scalars. Each reproduces its exact-shape counterpart on the valid region
+# (identical per-pixel values; only the fp32 summation order differs).
+# ---------------------------------------------------------------------------
+
+
+def _extent_mask(h: int, w: int, h_v, w_v) -> Array:
+    ih = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    return (ih < h_v) & (iw < w_v)
+
+
+def psnr_masked(sr: Array, hr: Array, h_v, w_v,
+                data_range: float = 1.0) -> Array:
+    """Whole-batch RGB PSNR over the valid (h_v, w_v) region of padded
+    NHWC canvases (masked counterpart of :func:`psnr`)."""
+    b, h, w, c = sr.shape
+    m = _extent_mask(h, w, h_v, w_v)[None, :, :, None]
+    d = (sr.astype(jnp.float32) - hr.astype(jnp.float32)) * m
+    n = (b * c) * (h_v * w_v)
+    mse = jnp.sum(d * d) / n
+    return 10.0 * jnp.log10(data_range ** 2 / mse)
+
+
+def _reflect_indices(n_pad: int, n_v, pad: int) -> Array:
+    """Gather indices emulating jnp.pad(..., mode='reflect') at the TRUE
+    edge ``n_v`` (traced) on a padded canvas of static length ``n_pad``.
+    Entries whose windows lie outside the valid region are clamped
+    in-bounds (their values are masked out downstream)."""
+    i = jnp.arange(-pad, n_pad + pad, dtype=jnp.int32)
+    j = jnp.abs(i)
+    j = jnp.where(j >= n_v, 2 * n_v - 2 - j, j)
+    return jnp.clip(j, 0, n_pad - 1)
+
+
+def ssim_masked(sr: Array, hr: Array, h_v, w_v, data_range: float = 1.0,
+                kernel_size: int = 11, sigma: float = 1.5,
+                k1: float = 0.01, k2: float = 0.03) -> Array:
+    """Masked counterpart of :func:`ssim`: reflect padding happens at the
+    traced true edge (as a gather), the SSIM map is computed over the full
+    padded canvas, and the mean runs over valid window centers only —
+    per-window values match the exact-shape metric."""
+    pad = (kernel_size - 1) // 2
+    h, w = sr.shape[1:3]
+    ri = _reflect_indices(h, h_v, pad)
+    ci = _reflect_indices(w, w_v, pad)
+    x = sr.astype(jnp.float32)[:, ri][:, :, ci]
+    y = hr.astype(jnp.float32)[:, ri][:, :, ci]
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    f = lambda t: _gaussian_filter(t, kernel_size, sigma)
+    mu_x, mu_y = f(x), f(y)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sig_x = f(x * x) - mu_x2
+    sig_y = f(y * y) - mu_y2
+    sig_xy = f(x * y) - mu_xy
+    num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
+    den = (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)
+    smap = num / den
+    b, hm, wm, c = smap.shape
+    m = _extent_mask(hm, wm, h_v, w_v)[None, :, :, None]
+    return jnp.sum(smap * m) / ((b * c) * (h_v * w_v))
+
+
+def lr_psnr_masked(sr: Array, hr: Array, wh: Array, ww: Array,
+                   hl_v, wl_v, data_range: float = 1.0) -> Array:
+    """Masked counterpart of :func:`lr_psnr`: ``wh`` (h_lr_pad, H_pad) and
+    ``ww`` (w_lr_pad, W_pad) are the antialiased-bicubic resize matrices for
+    the TRUE sizes zero-padded onto the bucket canvas (built host-side by
+    train/bucketed.py); (hl_v, wl_v) is the true LR extent."""
+    prec = jax.lax.Precision.HIGHEST
+
+    def down(t):
+        t = jnp.einsum("oh,bhwc->bowc", wh, t.astype(jnp.float32),
+                       precision=prec)
+        return jnp.einsum("ow,bhwc->bhoc", ww, t, precision=prec)
+
+    return psnr_masked(down(sr), down(hr), hl_v, wl_v, data_range)
