@@ -24,10 +24,17 @@ def setup(b=2, h_in=6, w_in=8, h_out=16, w_out=24, hidden=32, n_layers=3,
     feat = jax.random.normal(key, (b, h_in, w_in, 8))
     params = dec.init(key, feat, (h_out, w_out))
     zs = dec.apply(params, feat, method=ImplicitDecoder.lr_features)
-    z = jnp.concatenate(zs, axis=-1)
-    syn = grids.syn_input_grid((h_in, w_in), (h_out, w_out))
+    # kernel contract (r5): z carries the per-layer kq biases, pre-folded
+    # at LR resolution (mirrors diinn.lr_features_stacked)
     kp = pack_params(params["params"], n_layers=n_layers, dtype=jnp.float32)
+    z = jnp.concatenate(zs, axis=-1) + _kq_bias_vec(kp, hidden)
+    syn = grids.syn_input_grid((h_in, w_in), (h_out, w_out))
     return dec, params, feat, zs, z, syn, kp
+
+
+def _kq_bias_vec(kp, hidden):
+    """(C_all,) vector: zeros for layer 0, bkq_i on band i (i >= 1)."""
+    return jnp.concatenate([jnp.zeros((hidden,)), kp["bkq"].reshape(-1)])
 
 
 def xla_out(dec, params, zs, syn, b, h_out, w_out):
@@ -61,7 +68,9 @@ def test_fused_backward_matches_xla():
 
     def loss_xla(z_, params_):
         splits = np.cumsum([zz.shape[-1] for zz in zs])[:-1]
-        zs_ = jnp.split(z_, splits, axis=-1)
+        # z_ arrives pre-biased (kernel contract); the hr_step Dense adds
+        # bkq itself, so strip the folded copy first
+        zs_ = jnp.split(z_ - _kq_bias_vec(kp, 32), splits, axis=-1)
         zs_hr = tuple(grids.upsample_nearest_exact_mm(zz, (h_out, w_out))
                       for zz in zs_)
         syn_b = jnp.broadcast_to(syn[None], (b, h_out, w_out, 3))
@@ -86,8 +95,12 @@ def test_fused_backward_matches_xla():
         np.testing.assert_allclose(
             np.asarray(dkp_f["wkq"][i - 1]),
             np.asarray(p[f"kq{i}"]["dense"]["kernel"]), rtol=2e-4, atol=2e-4)
+        # bkq is unused inside the kernel (pre-folded into z): its
+        # direct grad is zero and the true grad appears as the LR-level
+        # sum of dz over the layer's channel band
+        assert float(np.abs(np.asarray(dkp_f["bkq"][i - 1])).max()) == 0.0
         np.testing.assert_allclose(
-            np.asarray(dkp_f["bkq"][i - 1]),
+            np.asarray(dz_f[..., i * 32:(i + 1) * 32]).sum(axis=(0, 1, 2)),
             np.asarray(p[f"kq{i}"]["dense"]["bias"]), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(
             np.asarray(dkp_f["wq"][i - 1]),
@@ -161,12 +174,13 @@ def test_fused_decode_stripe_matches_xla():
 
 def test_lr_features_stacked_matches_concat():
     """The fused-path glue (ONE cout=L*hidden conv from concatenated
-    kernels) computes exactly concat(lr_features) — same function, no
-    75 MB output concat."""
+    kernels) computes exactly concat(lr_features) + the folded kq biases
+    — same function, no 75 MB output concat, no HR-level bias pass."""
     fused, plain = _dec_pair()
     feat, params = _feat_params(plain)
     zs = plain.apply(params, feat, method=ImplicitDecoder.lr_features)
-    want = jnp.concatenate(list(zs), axis=-1)
+    kp = pack_params(params["params"], n_layers=3, dtype=jnp.float32)
+    want = jnp.concatenate(list(zs), axis=-1) + _kq_bias_vec(kp, 32)
     got = plain.apply(params, feat,
                       method=ImplicitDecoder.lr_features_stacked)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -218,7 +232,9 @@ def test_fused_int_backward_matches_xla(s):
 
     def loss_xla(z_, params_):
         splits = np.cumsum([zz.shape[-1] for zz in zs])[:-1]
-        zs_ = jnp.split(z_, splits, axis=-1)
+        # z_ arrives pre-biased (kernel contract); the hr_step Dense adds
+        # bkq itself, so strip the folded copy first
+        zs_ = jnp.split(z_ - _kq_bias_vec(kp, 32), splits, axis=-1)
         zs_hr = tuple(grids.upsample_nearest_exact_mm(zz, (h_out, w_out))
                       for zz in zs_)
         syn_b = jnp.broadcast_to(syn[None], (b, h_out, w_out, 3))

@@ -8,9 +8,14 @@ tile entirely in VMEM:
     k = relu(z0)
     q = k * sin(syn @ W0 + b0)
     for i in 1..L-1:
-        k = relu(q @ Wkq_i + z_i + bkq_i)
+        k = relu(q @ Wkq_i + z_i)      # z_i arrives with bkq_i pre-folded
         q = k * sin(q @ Wq_i + bq_i)
     out = q @ Wlast + blast
+
+Contract: ``z`` must carry the per-layer kq biases, folded in at LR
+resolution by ``diinn.lr_features_stacked`` — an (M, hidden) HR bias pass
+per layer becomes part of the LR conv's bias add, and the bkq grads flow
+through that concat's VJP (the kernels return zero for dbkq).
 
 Why a kernel: in the XLA path every matmul materializes a (B, H_out, W_out,
 256) bf16 tensor (~19 MB per image per layer) to HBM, and the nearest-exact
@@ -123,25 +128,32 @@ def _bmul(flat, z_lr, r: int, s_h: int, w: int, s_w: int):
 def _chain_fwd(zt, syn, w0_ref, b0_ref, wcat_ref, bcat_ref, wl_ref, bl_ref,
                *, n_layers: int, hidden: int):
     """Dual-MLP chain over a materialised flat (M, C_all) tile (the
-    arbitrary-ratio / window path), fp32 accumulation, fused [Wkq|Wq]."""
-    k = jax.nn.relu(zt[:, :hidden].astype(jnp.float32))
+    arbitrary-ratio / window path), fp32 accumulation, fused [Wkq|Wq].
+
+    VPU-lean conventions (r5): ``zt`` arrives with the per-layer kq biases
+    already folded in at LR resolution (diinn.lr_features_stacked), so only
+    the q-half bias is added here; ``q`` is produced directly in the GEMM
+    compute dtype (identical GEMM inputs — the cast was mandatory anyway —
+    minus one (M, hidden) cast pass per layer)."""
+    f32 = jnp.float32
     cdt = w0_ref.dtype
+    k = jax.nn.relu(zt[:, :hidden].astype(f32))
     q0 = jax.lax.dot_general(syn.astype(cdt), w0_ref[...],
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    q = k * _sin(q0 + b0_ref[...].astype(jnp.float32))
+                             preferred_element_type=f32)
+    q = (k * _sin(q0 + b0_ref[...].astype(f32))).astype(cdt)
     for i in range(1, n_layers):
-        zi = zt[:, i * hidden:(i + 1) * hidden].astype(jnp.float32)
+        zi = zt[:, i * hidden:(i + 1) * hidden].astype(f32)
         both = jax.lax.dot_general(
-            q.astype(cdt), wcat_ref[i - 1],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        both = both + bcat_ref[i - 1].astype(jnp.float32)
+            q, wcat_ref[i - 1],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
         k = jax.nn.relu(both[:, :hidden] + zi)
-        q = k * _sin(both[:, hidden:])
+        q = (k * _sin(both[:, hidden:]
+                      + bcat_ref[i - 1, hidden:].astype(f32))).astype(cdt)
     out = jax.lax.dot_general(
-        q.astype(cdt), wl_ref[...],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return out + bl_ref[...].astype(jnp.float32)
+        q, wl_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    return out + bl_ref[...].astype(f32)
 
 
 def _fwd_kernel(syn_ref, z_ref, srow_ref, scol_ref,
@@ -191,16 +203,18 @@ def _fwd_kernel_int(syn_ref, z_ref,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=f32)
     s0 = _sin(q0 + b0_ref[...].astype(f32))
-    q = _bmul(s0, k0, r, s_h, w_in, s_w)
+    # kq biases pre-folded into z (lr_features_stacked); q produced in the
+    # GEMM compute dtype — see _chain_fwd for the pass accounting.
+    q = _bmul(s0, k0, r, s_h, w_in, s_w).astype(cdt)
     for i in range(1, n_layers):
         zi = z[:, :, i * hidden:(i + 1) * hidden]
         both = jax.lax.dot_general(
-            q.astype(cdt), wcat_ref[i - 1],
+            q, wcat_ref[i - 1],
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        both = both + bcat_ref[i - 1].astype(f32)
         k = jax.nn.relu(_badd(both[:, :hidden], zi, r, s_h, w_in, s_w))
-        q = k * _sin(both[:, hidden:])
-    out = jax.lax.dot_general(q.astype(cdt), wl_ref[...],
+        q = (k * _sin(both[:, hidden:]
+                      + bcat_ref[i - 1, hidden:].astype(f32))).astype(cdt)
+    out = jax.lax.dot_general(q, wl_ref[...],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=f32)
     out = out + bl_ref[...].astype(f32)
@@ -323,18 +337,21 @@ def _chain_bwd(zt, syn, g,
                                    preferred_element_type=f32)
 
     # ---- recompute forward, stashing k / sin / cos / q per layer ----
+    # (mirrors _chain_fwd: kq biases pre-folded into zt, q stashed in the
+    # GEMM compute dtype — bit-identical GEMM operands, half the stash VMEM)
     ks, qs, sins, coss = [], [], [], []
     z0 = zt[:, :hidden].astype(f32)
     k = jax.nn.relu(z0)
     s0, c0 = _sincos(mm(syn, w0_ref[...]) + b0_ref[...].astype(f32))
-    q = k * s0
+    q = (k * s0).astype(cdt)
     ks.append(k); sins.append(s0); coss.append(c0); qs.append(q)
     for i in range(1, n_layers):
         zi = zt[:, i * hidden:(i + 1) * hidden].astype(f32)
-        both = mm(q, wcat_ref[i - 1]) + bcat_ref[i - 1].astype(f32)
+        both = mm(q, wcat_ref[i - 1])
         k = jax.nn.relu(both[:, :hidden] + zi)
-        s, c = _sincos(both[:, hidden:])
-        q = k * s
+        s, c = _sincos(both[:, hidden:]
+                       + bcat_ref[i - 1, hidden:].astype(f32))
+        q = (k * s).astype(cdt)
         ks.append(k); sins.append(s); coss.append(c); qs.append(q)
 
     def mmT_acc(a, gout):  # a^T @ g : (in, out) weight grad
@@ -360,7 +377,9 @@ def _chain_bwd(zt, syn, g,
         dq_pre = (dq * k) * coss[i]
         dzt_parts[i] = dkq_pre
         dboth = jnp.concatenate([dkq_pre, dq_pre], axis=1)   # (M, 2H)
-        dbcat_ref[i - 1] += jnp.sum(dboth, axis=0)
+        # bkq grads flow through the pre-biased z (lr_features_stacked VJP);
+        # only the q-half bias lives in the kernel.
+        dbcat_ref[i - 1, hidden:] += jnp.sum(dq_pre, axis=0)
         dwcat_ref[i - 1] += mmT_acc(qs[i - 1], dboth)
         dq = mm_back(dboth, wcat_ref[i - 1])
     # layer 0: q = relu(z0) * sin(syn@w0+b0)
@@ -425,16 +444,19 @@ def _bwd_kernel_int(syn_ref, z_ref,
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
 
     # ---- recompute forward (broadcast gather, no (M, C_all) tile) ----
+    # (mirrors _fwd_kernel_int: kq biases pre-folded into z, q stashed in
+    # the GEMM compute dtype)
     k0_lr = jax.nn.relu(z[:, :, :hidden].astype(f32))     # (R, W_in, H) at LR
     s0, c0 = _sincos(mm(syn, w0_ref[...]) + b0_ref[...].astype(f32))
-    q = _bmul(s0, k0_lr, r, s_h, w_in, s_w)
+    q = _bmul(s0, k0_lr, r, s_h, w_in, s_w).astype(cdt)
     ks, qs, sins, coss = [None], [q], [s0], [c0]
     for i in range(1, n_layers):
         zi = z[:, :, i * hidden:(i + 1) * hidden]
-        both = mm(q, wcat_ref[i - 1]) + bcat_ref[i - 1].astype(f32)
+        both = mm(q, wcat_ref[i - 1])
         k = jax.nn.relu(_badd(both[:, :hidden], zi, r, s_h, w_in, s_w))
-        s, c = _sincos(both[:, hidden:])
-        q = k * s
+        s, c = _sincos(both[:, hidden:]
+                       + bcat_ref[i - 1, hidden:].astype(f32))
+        q = (k * s).astype(cdt)
         ks.append(k); sins.append(s); coss.append(c); qs.append(q)
 
     # ---- backward chain ----
@@ -451,8 +473,8 @@ def _bwd_kernel_int(syn_ref, z_ref,
         # separate GEMMs beat a concat into one K=512 GEMM here (the (M,2H)
         # concat copy costs more than the saved launch — measured r4,
         # scripts/kernel_probe.py bwd ablation); accumulate into the wcat
-        # slices so the accumulator layout stays single-buffer.
-        dbcat_ref[i - 1, :hidden] += jnp.sum(dkq_pre, axis=0)
+        # slices so the accumulator layout stays single-buffer. bkq grads
+        # flow through the pre-biased z instead (lr_features_stacked VJP).
         dbcat_ref[i - 1, hidden:] += jnp.sum(dq_pre, axis=0)
         dwcat_ref[i - 1, :, :hidden] += mmT_acc(qs[i - 1], dkq_pre)
         dwcat_ref[i - 1, :, hidden:] += mmT_acc(qs[i - 1], dq_pre)
@@ -784,8 +806,9 @@ def decode_fused(z: Array, syn: Array, out_size: Tuple[int, int], params,
                  *, interpret=None) -> Array:
     """Fused decode of stacked LR features to RGB.
 
-    z: (B, H_in, W_in, L*hidden) stacked per-layer content features
-       (bf16 recommended).
+    z: (B, H_in, W_in, L*hidden) stacked per-layer content features WITH
+       the kq biases pre-folded (diinn.lr_features_stacked; bf16
+       recommended).
     syn: (H_out, W_out, 3) synthesis grid (batch-independent).
     params: dict with keys w0/b0, wkq/bkq, wq/bq, wl/bl — see pack_params.
     Returns (B, H_out, W_out, 3) float32.

@@ -202,13 +202,18 @@ class ImplicitDecoder(nn.Module):
         return tuple(zs)
 
     def lr_features_stacked(self, feat: Array) -> Array:
-        """The channel-stacked content features as ONE 3x3 conv.
+        """The channel-stacked content features as ONE 3x3 conv,
+        WITH the per-layer kq biases folded in.
 
         The fused kernel consumes the per-layer convs concatenated
         channel-wise; concatenating their *kernels* instead of their outputs
         (a ~75 MB copy per step at the training shape) runs a single
         cout = L*hidden conv — one MXU launch fwd, one conv VJP bwd, zero
-        concat traffic. Mode-3/no-init_q only (the fused-kernel scope).
+        concat traffic. The kq-branch biases ride the SAME bias add at LR
+        resolution (k = relu(q@Wkq + (z_i + bkq_i)) == the reference's
+        k = relu(q@Wkq + bkq_i + z_i)), so the kernels skip an (M, hidden)
+        HR-resolution bias pass per layer — their bkq grads flow through
+        this concat's VJP. Mode-3/no-init_q only (the fused-kernel scope).
         """
         ws = [self.k0_conv.variables["params"]["conv"]["kernel"]]
         bias = self.k0_conv.variables["params"]["conv"]["bias"]
@@ -216,8 +221,8 @@ class ImplicitDecoder(nn.Module):
             ws.append(kx.variables["params"]["conv"]["kernel"])
         wcat = jnp.concatenate(ws, axis=-1)       # (3, 3, C_in, L*hidden)
         bcat = jnp.concatenate(
-            [bias, jnp.zeros((wcat.shape[-1] - bias.shape[0],),
-                             bias.dtype)])
+            [bias] + [kq.variables["params"]["dense"]["bias"]
+                      for kq in self.kq_layers])
         # dtype=None must mirror flax promote_dtype (result_type of input
         # and params), or a bf16 feat would compute here in bf16 while the
         # per-layer Conv modules it replaces compute in fp32.
