@@ -50,9 +50,14 @@ def main(argv=None):
         params = {}
     else:
         state, meta = load_params(args.ckpt_path, "best")
-        cfg = load_config(None, overrides)
-        from tpu_diinn.config.config import _merge
+        # checkpoint config first, THEN command-line overrides (overrides
+        # must win — e.g. model.use_fused=false to A/B the kernel path)
+        from tpu_diinn.config.config import _merge, _set_dotted
+        cfg = load_config(None, [])
         _merge(cfg, meta["config"])
+        for ov in overrides:
+            key, _, val = ov.lstrip("-").partition("=")
+            _set_dotted(cfg, key, val)
         task = loop.build_task(cfg)
         params = state["params"] if isinstance(state, dict) else state.params
 
