@@ -40,6 +40,9 @@ def main():
 
     state, meta = load_params(args.ckpt, "best")
     params = state["params"] if isinstance(state, dict) else state.params
+    # npz loads give numpy leaves — commit them to the device ONCE, or every
+    # jitted call re-uploads ~90 MB of weights through the tunnel
+    params = jax.device_put(params)
     x = jax.random.uniform(jax.random.PRNGKey(0),
                            (1, args.size, args.size, 3))
 

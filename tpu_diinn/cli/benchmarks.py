@@ -60,6 +60,10 @@ def main(argv=None):
             _set_dotted(cfg, key, val)
         task = loop.build_task(cfg)
         params = state["params"] if isinstance(state, dict) else state.params
+        # npz loads give numpy leaves: commit to device once, or every
+        # per-image eval call re-uploads the full weight set
+        import jax
+        params = jax.device_put(params)
 
     # CLI flags drive the config-level dataset assembly (make_test_datasets)
     cfg.data.root = args.root

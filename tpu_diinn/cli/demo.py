@@ -84,6 +84,8 @@ def _build(args, overrides):
     _merge(cfg, meta["config"])
     task = loop.build_task(cfg)
     params = state["params"] if isinstance(state, dict) else state.params
+    import jax
+    params = jax.device_put(params)   # npz gives numpy leaves; upload once
     return task, params
 
 

@@ -205,16 +205,16 @@ def _fwd_kernel_int(syn_ref, z_ref,
     s0 = _sin(q0 + b0_ref[...].astype(f32))
     # kq biases pre-folded into z (lr_features_stacked); q produced in the
     # GEMM compute dtype — see _chain_fwd for the pass accounting.
-    q = _bmul(s0, k0, r, s_h, w_in, s_w).astype(cdt)
+    q = _bmul(s0, k0, r, s_h, w_in, s_w)
     for i in range(1, n_layers):
         zi = z[:, :, i * hidden:(i + 1) * hidden]
         both = jax.lax.dot_general(
-            q, wcat_ref[i - 1],
+            q.astype(cdt), wcat_ref[i - 1],
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
         k = jax.nn.relu(_badd(both[:, :hidden], zi, r, s_h, w_in, s_w))
-        q = (k * _sin(both[:, hidden:]
-                      + bcat_ref[i - 1, hidden:].astype(f32))).astype(cdt)
-    out = jax.lax.dot_general(q, wl_ref[...],
+        q = k * _sin(both[:, hidden:]
+                     + bcat_ref[i - 1, hidden:].astype(f32))
+    out = jax.lax.dot_general(q.astype(cdt), wl_ref[...],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=f32)
     out = out + bl_ref[...].astype(f32)
@@ -283,7 +283,7 @@ def _fwd_pallas_int(syn, z, w0, b0, wkq, bkq, wq, bq, wl, bl,
     h_out, w_out = h_in * s_h, w_in * s_w
     n_layers = wkq.shape[0] + 1
     hidden = w0.shape[1]
-    tile_h = _pick_tile_h_int(h_out, s_h)
+    tile_h = _pick_tile_h_int(h_out, s_h, cap=32)
     grid = (b, h_out // tile_h)
     wcat, bcat = _cat_weights(w0, b0, wkq, bkq, wq, bq)
     kern = functools.partial(

@@ -14,12 +14,29 @@ here always normalizes internally, fixing that quirk.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
 
 Array = jnp.ndarray
+
+
+@functools.lru_cache(maxsize=8)
+def _enc_dec_for(net):
+    """(encoder, decoder) submodules matching a DIINN net's param tree —
+    the decomposed form used by the shared-LR multi-scale fast path (and
+    mirrored by train/streaming.py, train/bucketed.py)."""
+    from tpu_diinn.nn.diinn import ImplicitDecoder
+    from tpu_diinn.nn.registry import make_encoder
+    enc = make_encoder(net.encoder_spec, dtype=net.dtype,
+                       lane_pack=net.lane_pack)
+    dec = ImplicitDecoder(in_channels=enc.out_dim,
+                          hidden_dims=net.hidden_dims, mode=net.mode,
+                          init_q=net.init_q, exact_sin=net.exact_sin,
+                          use_fused=net.use_fused, dtype=net.dtype)
+    return enc, dec
 
 SUB = 0.5
 DIV = 0.5
@@ -48,17 +65,46 @@ class SRTask:
         sharding constraint (parallel/sharding.shard_queries) to partition
         the decode over the mesh's 'space' axis.
         """
+        items = list(batch.items())
+        feats = self._shared_lr_features(params, items)
         loss = 0.0
         preds = {}
-        for scale, (lr, hr) in batch.items():
-            x = normalize(lr)
+        for i, (scale, (lr, hr)) in enumerate(items):
             y = normalize(hr)
-            pred = self.net.apply(params, x, hr.shape[1:3], bsize)
+            if feats is not None:
+                feat, dec, dp = feats
+                b = lr.shape[0]
+                pred = dec.apply(dp, feat[i * b:(i + 1) * b],
+                                 hr.shape[1:3], bsize)
+            else:
+                pred = self.net.apply(params, normalize(lr),
+                                      hr.shape[1:3], bsize)
             if constrain is not None:
                 pred = constrain(pred)
             loss = loss + jnp.mean(jnp.abs(pred - y))
             preds[scale] = jnp.clip(denormalize(pred), 0.0, 1.0)
-        return loss / len(batch), preds
+        return loss / len(items), preds
+
+    def _shared_lr_features(self, params, items):
+        """Multi-scale batches with one common LR shape (the reference
+        training config: 48-px LR patches at joint scales {2,3,4},
+        ``configs/default.yaml``) run the ENCODER — 76% of step FLOPs —
+        once on the scale-concatenated batch instead of once per scale:
+        bit-identical per sample (the batch dim is independent), 3x fewer
+        conv launches and 3x the matmul M for the lane-limited cout=64
+        encoder convs. Returns (stacked features, decoder, decoder params)
+        or None when inapplicable."""
+        from tpu_diinn.nn.diinn import DIINN
+        if not isinstance(self.net, DIINN) or len(items) < 2:
+            return None
+        shapes = {lr.shape for _, (lr, _) in items}
+        if len(shapes) != 1:
+            return None
+        enc, dec = _enc_dec_for(self.net)
+        p = params["params"] if "params" in params else params
+        x = jnp.concatenate([normalize(lr) for _, (lr, _) in items], axis=0)
+        feat = enc.apply({"params": p["encoder"]}, x)
+        return feat, dec, {"params": p["decoder"]}
 
     def train_loss(self, params, batch) -> Array:
         loss, _ = self.loss_and_preds(params, batch)
