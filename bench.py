@@ -74,6 +74,30 @@ def main():
     pix_s = pixels / dt
     vs = (pix_s / BENCH_BASELINE_PIX_S) if BENCH_BASELINE_PIX_S else 1.0
 
+    # secondary: the REFERENCE training config (batch 4, joint scales
+    # {2,3,4}) — the workload the shared-LR encoder pass accelerates
+    # (train/task.py::_shared_lr_features; PERF.md round 5)
+    cfg_ref = load_config(None, ["model.arch=diinn", "model.dtype=bfloat16",
+                                 "data.batch_size=4", "data.patch_size=48",
+                                 "data.train_scales=[2,3,4]"])
+    task_r = loop.build_task(cfg_ref)
+    state_r = loop.init_state(cfg_ref, tx, jax.random.PRNGKey(0))
+    br = {s: (
+        jnp.asarray(rng.random((4, 48, 48, 3)).astype(np.float32)),
+        jnp.asarray(rng.random((4, 48 * s, 48 * s, 3)).astype(np.float32)))
+        for s in (2, 3, 4)}
+    step_r = loop.make_train_step(task_r, tx, mesh=None)
+    state_r, mr = step_r(state_r, br)
+    float(mr["loss"])
+    state_r, mr = step_r(state_r, br)
+    float(mr["loss"])
+    t1 = time.perf_counter()
+    for _ in range(20):
+        state_r, mr = step_r(state_r, br)
+    float(mr["loss"])
+    dt_ref = (time.perf_counter() - t1) / 20
+    ref_px = 4 * sum((48 * s) ** 2 for s in (2, 3, 4))
+
     # roofline denominator: exact model FLOPs per step -> MFU vs chip peak
     from tpu_diinn.train import flops as F
     fl = F.train_step_flops(batch, patch, [scale])
@@ -90,6 +114,8 @@ def main():
         "mfu_bf16": round(F.mfu(fl["total"], step_t), 3),
         "flops_split": {k: round(v / fl["total"], 3)
                         for k, v in fl.items() if k != "total"},
+        "ref_config_ms_per_step": round(dt_ref * 1e3, 2),
+        "ref_config_pix_s": round(ref_px / dt_ref, 1),
     }))
 
 
