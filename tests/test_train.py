@@ -320,3 +320,50 @@ def test_weights_npz_export_roundtrip(tmp_path):
                                 sorted(flat_new, key=lambda t: str(t[0]))):
         want = np.asarray(a).astype(ml_dtypes.bfloat16).astype(np.float32)
         np.testing.assert_array_equal(want, np.asarray(b))
+
+
+def test_shared_lr_encoder_path_matches_per_scale():
+    """The multi-scale shared-LR encoder pass (task._shared_lr_features)
+    must be a pure reassociation: loss and grads identical to the
+    per-scale path (PERF.md round 5: 1.15x on the reference config)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_diinn.config.config import load_config
+    from tpu_diinn.train import loop
+    from tpu_diinn.train import task as task_mod
+
+    cfg = load_config(None, [
+        "model.arch=diinn", "model.encoder=rdn-tiny",
+        "model.hidden_dims=[32,32]",
+    ])
+    task = loop.build_task(cfg)
+    rng = np.random.default_rng(7)
+    batch = {s: (jnp.asarray(rng.random((2, 12, 12, 3), ).astype(np.float32)),
+                 jnp.asarray(rng.random((2, 12 * s, 12 * s, 3)
+                                        ).astype(np.float32)))
+             for s in (2, 3)}
+    params = task.net.init(jax.random.PRNGKey(0), batch[2][0], (24, 24))
+
+    def loss_fn(p):
+        loss, _ = task.loss_and_preds(p, batch)
+        return loss
+
+    l_new, g_new = jax.value_and_grad(loss_fn)(params)
+    orig = task_mod.SRTask._shared_lr_features
+    task_mod.SRTask._shared_lr_features = lambda self, p, i: None
+    try:
+        l_old, g_old = jax.value_and_grad(loss_fn)(params)
+    finally:
+        task_mod.SRTask._shared_lr_features = orig
+
+    assert abs(float(l_new) - float(l_old)) < 1e-7
+    flat_new = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(g_new)}
+    flat_old = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(g_old)}
+    assert set(flat_new) == set(flat_old)
+    for k in flat_new:
+        np.testing.assert_allclose(np.asarray(flat_new[k]),
+                                   np.asarray(flat_old[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)

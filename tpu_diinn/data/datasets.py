@@ -82,7 +82,13 @@ class SRDatasetDownsample:
         self.scales = list(scales)
         self.patch_size = patch_size
         self.augment = augment
-        hr_dir = Path(root) / name / DATASET_DIR_STRUCTURE[name][split]["hr_dir"]
+        # benchmark sets beyond the reference's four (any benchmark/<X>/HR
+        # directory) follow the same layout convention
+        layout = DATASET_DIR_STRUCTURE[name].get(split) \
+            if name == "benchmark" else DATASET_DIR_STRUCTURE[name][split]
+        if layout is None:
+            layout = {"hr_dir": f"{split}/HR", "lr_dir": f"{split}/LR_bicubic"}
+        hr_dir = Path(root) / name / layout["hr_dir"]
         self.names_hr = sorted(
             glob.glob(os.path.join(str(hr_dir), "*" + file_ext)))
         self._native = None
