@@ -131,3 +131,31 @@ def test_bucketed_kernel_variant_matches_exact():
     assert list(ev._jit)[0][0] == "kernel"
     for g, e, name in zip(got, exact, ("psnr", "ssim", "lr_psnr")):
         assert abs(float(g) - float(e)) < 5e-4, (name, float(g), float(e))
+
+
+@pytest.mark.parametrize("arch,scale,lr_hw,hr_hw", [
+    ("liif", 2.0, (21, 17), (42, 34)),
+    ("liif", 2.5, (21, 17), (53, 43)),
+    ("metasr", 2.0, (21, 17), (42, 34)),
+    ("metasr", 2.5, (21, 17), (53, 43)),
+])
+def test_bucketed_eval_liif_metasr_matches_exact(arch, scale, lr_hw, hr_hw):
+    """Round 5: the bucketed static-shape path covers ALL model families
+    (LIIF's 4-corner ensemble and MetaSR's hypernet projection accept
+    traced index/rel arrays)."""
+    cfg = load_config(None, [
+        f"model.arch={arch}", "model.encoder=rdn-tiny",
+        "model.hidden_dims=[32,32]", "model.eval_bsize=997",
+    ])
+    task = loop.build_task(cfg)
+    rng = np.random.default_rng(4)
+    lr = _rand_img(rng, *lr_hw)
+    hr = _rand_img(rng, *hr_hw)
+    params = task.net.init(jax.random.PRNGKey(2), jnp.asarray(lr), hr_hw)
+
+    exact = loop.EvalJit(task).test_fn(scale, lr.shape, hr.shape)(
+        params, jnp.asarray(lr), jnp.asarray(hr))
+    ev = BucketedEval(task, quantum=32)
+    got = ev.test_fn(scale, lr.shape, hr.shape)(params, lr, hr)
+    for g, e, name in zip(got, exact, ("psnr", "ssim", "lr_psnr")):
+        assert abs(float(g) - float(e)) < 1e-3, (name, float(g), float(e))

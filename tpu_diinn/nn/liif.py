@@ -179,6 +179,27 @@ class LIIF(nn.Module):
                  jax.lax.dynamic_slice(rx_p, (col_start,), (stripe_w,))))
         return self._blend(z, per_corner, cell, b, (h_out, stripe_w))
 
+    def decode_traced(self, feat: Array, per_corner, cell: Array,
+                      out_hw: Tuple[int, int],
+                      bsize: Optional[int] = None) -> Array:
+        """Decode with externally-supplied (possibly traced) per-corner
+        index/rel arrays and cell — the unit of bucketed static-shape eval
+        (train/bucketed.py): the compiled program depends only on the
+        padded ``out_hw``, so differently-sized images share one program.
+        ``per_corner`` is a sequence of (row_idx, row_rel, col_idx,
+        col_rel); ``cell`` a (2,) array. Row-band chunked via ``bsize``."""
+        b = feat.shape[0]
+        h_out, w_out = out_hw
+        z = self.imnet_feat(feat)
+        band = h_out if bsize is None else max(1, bsize // max(w_out, 1))
+        outs = []
+        for lo in range(0, h_out, band):
+            hi = min(lo + band, h_out)
+            pc = [(iy[lo:hi], ry[lo:hi], ix, rx)
+                  for iy, ry, ix, rx in per_corner]
+            outs.append(self._blend(z, pc, cell, b, (hi - lo, w_out)))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
     def __call__(self, x: Array, size: Tuple[int, int],
                  bsize: Optional[int] = None) -> Array:
         return self.decode(self.encoder(x), size, bsize)

@@ -127,6 +127,22 @@ class MetaSR(nn.Module):
         return self._pred(unfolded, jnp.asarray(iy), jnp.asarray(ry), ix, rx,
                           r_rev, b, (h_out, stripe_w))
 
+    def decode_traced(self, feat: Array, iy, ry, ix, rx, r_rev,
+                      out_hw: Tuple[int, int],
+                      bsize: Optional[int] = None) -> Array:
+        """Decode with externally-supplied (possibly traced) per-axis
+        index/rel arrays and r_rev scalar — the bucketed static-shape eval
+        unit (train/bucketed.py). Row-band chunked via ``bsize``."""
+        b = feat.shape[0]
+        h_out, w_out = out_hw
+        unfolded = unfold3x3(feat)
+        band = h_out if bsize is None else max(1, bsize // max(w_out, 1))
+        outs = [self._pred(unfolded, iy[lo:min(lo + band, h_out)],
+                           ry[lo:min(lo + band, h_out)], ix, rx, r_rev, b,
+                           (min(lo + band, h_out) - lo, w_out))
+                for lo in range(0, h_out, band)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
     def __call__(self, x: Array, size: Tuple[int, int],
                  bsize: Optional[int] = None) -> Array:
         return self.decode(self.encoder(x), size, bsize)

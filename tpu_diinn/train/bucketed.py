@@ -89,26 +89,33 @@ class BucketedEval:
 
     def __init__(self, task: SRTask, quantum: int = 64,
                  kernel: bool = True):
+        from tpu_diinn.nn.liif import LIIF
+        from tpu_diinn.nn.metasr import MetaSR
         net = task.net
-        if not isinstance(net, DIINN):
+        if isinstance(net, DIINN):
+            if net.mode == 4:
+                raise BucketedUnsupported("mode 4 (window output conv)")
+            self.arch = "diinn"
+            self.enc = make_encoder(net.encoder_spec, dtype=net.dtype,
+                                    lane_pack=net.lane_pack)
+            self.dec = ImplicitDecoder(in_channels=self.enc.out_dim,
+                                       hidden_dims=net.hidden_dims,
+                                       mode=net.mode, init_q=net.init_q,
+                                       exact_sin=net.exact_sin,
+                                       use_fused=net.use_fused,
+                                       dtype=net.dtype)
+        elif isinstance(net, (LIIF, MetaSR)):
+            self.arch = "liif" if isinstance(net, LIIF) else "metasr"
+        else:
             raise BucketedUnsupported(type(net).__name__)
-        if net.mode == 4:
-            raise BucketedUnsupported("mode 4 (window output conv)")
+        self.net = net
         self.task = task
         self.quantum = quantum
-        # kernel=True routes integer-scale images (HR exactly scale x LR,
-        # the benchmark-protocol case) through the 2-D tiled fused Pallas
-        # decode (kernels/decoder_fused.decode_fused_int_eval) when the
-        # decoder config is kernel-eligible.
+        # kernel=True routes integer-scale DIINN images (HR exactly
+        # scale x LR, the benchmark-protocol case) through the 2-D tiled
+        # fused Pallas decode (decoder_fused.decode_fused_int_eval) when
+        # the decoder config is kernel-eligible.
         self.kernel = kernel
-        self.enc = make_encoder(net.encoder_spec, dtype=net.dtype,
-                                lane_pack=net.lane_pack)
-        self.dec = ImplicitDecoder(in_channels=self.enc.out_dim,
-                                   hidden_dims=net.hidden_dims,
-                                   mode=net.mode, init_q=net.init_q,
-                                   exact_sin=net.exact_sin,
-                                   use_fused=net.use_fused,
-                                   dtype=net.dtype)
         self._jit: Dict[Any, Any] = {}
 
     @property
@@ -129,9 +136,27 @@ class BucketedEval:
             return self._jit[key]
         kind = key[0]
         h_pad, w_pad, hh_pad, ww_pad = key[1:5]
-        dec, bsize = self.dec, self.task.eval_bsize
+        dec = getattr(self, "dec", None)
+        bsize = self.task.eval_bsize
 
-        if kind == "traced":
+        if kind in ("liif", "metasr"):
+            net = self.net
+            cls = type(net)
+
+            def f(params, lr, hr, hv, wv, hhv, wwv, dec_args,
+                  mh, mw, hlv, wlv):
+                from tpu_diinn.nn.masking import apply_valid_mask
+                with valid_extent((h_pad, w_pad), hv, wv):
+                    x = apply_valid_mask(normalize(lr))
+                    feat = net.apply(params, x, method=cls.encode)
+                    pred = net.apply(params, feat, *dec_args,
+                                     (hh_pad, ww_pad), bsize,
+                                     method=cls.decode_traced)
+                pred = jnp.clip(denormalize(pred), 0.0, 1.0)
+                return (M.psnr_masked(pred, hr, hhv, wwv),
+                        M.ssim_masked(pred, hr, hhv, wwv),
+                        M.lr_psnr_masked(pred, hr, mh, mw, hlv, wlv))
+        elif kind == "traced":
             def f(params, lr, hr, hv, wv, hhv, wwv, rows, cols, syn,
                   mh, mw, hlv, wlv):
                 p = params["params"] if "params" in params else params
@@ -196,12 +221,6 @@ class BucketedEval:
         buckets = self._buckets((h, w), (hh, ww), scale)
         h_pad, w_pad, hh_pad, ww_pad = buckets
 
-        use_kernel = (self.kernel and float(scale).is_integer()
-                      and hh == int(scale) * h and ww == int(scale) * w
-                      and hh_pad == int(scale) * h_pad
-                      and self.dec._fused_config_ok())
-
-        syn = _pad_to(_syn_np((h, w), (hh, ww)), (hh_pad, ww_pad, 3))
         hl, wl = resize_by_scale_size((hh, ww), scale)
         assert hl <= h_pad and wl <= w_pad, (hl, wl, h_pad, w_pad)
         mh = _pad_to(resize_matrix(hh, hl).astype(np.float32),
@@ -211,16 +230,47 @@ class BucketedEval:
         lrp = _pad_to(lr, (lr.shape[0], h_pad, w_pad, 3))
         hrp = _pad_to(hr, (hr.shape[0], hh_pad, ww_pad, 3))
         scalars = (np.int32(h), np.int32(w), np.int32(hh), np.int32(ww))
+        tail = (mh, mw, np.int32(hl), np.int32(wl))
 
+        if self.arch == "liif":
+            from tpu_diinn.nn.liif import _corner_axis_indices
+            corners = [(-1, -1), (-1, 1), (1, -1), (1, 1)] \
+                if self.net.local_ensemble else [(0, 0)]
+            pc = []
+            for vy, vx in corners:
+                iy, ry = _corner_axis_indices(h, hh, vy,
+                                              self.net.local_ensemble)
+                ix, rx = _corner_axis_indices(w, ww, vx,
+                                              self.net.local_ensemble)
+                pc.append((_pad_to(iy, (hh_pad,)), _pad_to(ry, (hh_pad,)),
+                           _pad_to(ix, (ww_pad,)), _pad_to(rx, (ww_pad,))))
+            cell = np.asarray([2.0 * h / hh, 2.0 * w / ww], np.float32)
+            fn = self._program(("liif",) + buckets)
+            return fn(params, lrp, hrp, *scalars,
+                      (tuple(pc), cell), *tail)
+        if self.arch == "metasr":
+            from tpu_diinn.nn.metasr import _axis_lookup
+            iy, ry = _axis_lookup(h, hh)
+            ix, rx = _axis_lookup(w, ww)
+            r_rev = np.float32((2.0 / hh) * h / 2.0)
+            fn = self._program(("metasr",) + buckets)
+            return fn(params, lrp, hrp, *scalars,
+                      (_pad_to(iy, (hh_pad,)), _pad_to(ry, (hh_pad,)),
+                       _pad_to(ix, (ww_pad,)), _pad_to(rx, (ww_pad,)),
+                       r_rev), *tail)
+
+        use_kernel = (self.kernel and float(scale).is_integer()
+                      and hh == int(scale) * h and ww == int(scale) * w
+                      and hh_pad == int(scale) * h_pad
+                      and self.dec._fused_config_ok())
+        syn = _pad_to(_syn_np((h, w), (hh, ww)), (hh_pad, ww_pad, 3))
         if use_kernel:
             fn = self._program(("kernel",) + buckets)
-            return fn(params, lrp, hrp, *scalars, syn, mh, mw,
-                      np.int32(hl), np.int32(wl))
+            return fn(params, lrp, hrp, *scalars, syn, *tail)
         rows = _pad_to(grids.nearest_exact_indices(h, hh), (hh_pad,))
         cols = _pad_to(grids.nearest_exact_indices(w, ww), (ww_pad,))
         fn = self._program(("traced",) + buckets)
-        return fn(params, lrp, hrp, *scalars, rows, cols, syn, mh, mw,
-                  np.int32(hl), np.int32(wl))
+        return fn(params, lrp, hrp, *scalars, rows, cols, syn, *tail)
 
     # -- EvalJit-compatible surface --------------------------------------
     def test_fn(self, scale, lr_shape, hr_shape):
