@@ -81,6 +81,37 @@ def _pad_to(a: np.ndarray, shape: Tuple[int, ...]) -> np.ndarray:
     return out
 
 
+def _syn_traced(out_pad: Tuple[int, int], in_pad: Tuple[int, int],
+                hv, wv, hhv, wwv, rows, cols) -> jnp.ndarray:
+    """In-graph synthesis grid over a padded canvas from TRACED true sizes.
+
+    Shipping the (H_pad, W_pad, 3) grid from the host costs ~32 MB of
+    device upload per benchmark image through the remote tunnel; computed
+    on device it costs three tiny broadcasts. fp32 op order differs from
+    the host mirror by <= 1-2 ulp in the coordinates (well inside the
+    1e-4 dB metric budget; the discrete gather INDICES stay host-computed
+    float64, where exactness actually matters)."""
+    h_pad, w_pad = out_pad
+    f32 = jnp.float32
+
+    def centers(n, count):
+        nf = jnp.asarray(n, f32)
+        r = 1.0 / nf
+        return (-1.0 + r) + (2.0 * r) * jnp.arange(count, dtype=f32)
+
+    yo = centers(hhv, h_pad)
+    xo = centers(wwv, w_pad)
+    yi = centers(hv, in_pad[0])       # LR centers, gathered via rows
+    xi = centers(wv, in_pad[1])
+    ry = (yo - yi[rows]) * jnp.asarray(hv, f32)
+    rx = (xo - xi[cols]) * jnp.asarray(wv, f32)
+    ratio = (jnp.asarray(hv, f32) * jnp.asarray(wv, f32)) \
+        / (jnp.asarray(hhv, f32) * jnp.asarray(wwv, f32))
+    return jnp.stack([jnp.broadcast_to(ry[:, None], (h_pad, w_pad)),
+                      jnp.broadcast_to(rx[None, :], (h_pad, w_pad)),
+                      jnp.full((h_pad, w_pad), ratio, f32)], axis=-1)
+
+
 class BucketedEval:
     """Drop-in for ``loop.EvalJit`` on the benchmark test loop: same
     ``test_fn(scale, lr_shape, hr_shape)(params, lr, hr)`` surface, but the
@@ -157,9 +188,11 @@ class BucketedEval:
                         M.ssim_masked(pred, hr, hhv, wwv),
                         M.lr_psnr_masked(pred, hr, mh, mw, hlv, wlv))
         elif kind == "traced":
-            def f(params, lr, hr, hv, wv, hhv, wwv, rows, cols, syn,
+            def f(params, lr, hr, hv, wv, hhv, wwv, rows, cols,
                   mh, mw, hlv, wlv):
                 p = params["params"] if "params" in params else params
+                syn = _syn_traced((hh_pad, ww_pad), (h_pad, w_pad),
+                                  hv, wv, hhv, wwv, rows, cols)
                 with valid_extent((h_pad, w_pad), hv, wv):
                     feat = self._encode(p, lr, h_pad, w_pad, hv, wv)
                     pred = dec.apply({"params": p["decoder"]}, feat, syn,
@@ -172,9 +205,11 @@ class BucketedEval:
         else:  # "kernel": integer scale, 2-D tiled fused Pallas decode
             from tpu_diinn.kernels.decoder_fused import decode_fused_int_eval
 
-            def f(params, lr, hr, hv, wv, hhv, wwv, syn,
+            def f(params, lr, hr, hv, wv, hhv, wwv, rows, cols,
                   mh, mw, hlv, wlv):
                 p = params["params"] if "params" in params else params
+                syn = _syn_traced((hh_pad, ww_pad), (h_pad, w_pad),
+                                  hv, wv, hhv, wwv, rows, cols)
                 with valid_extent((h_pad, w_pad), hv, wv):
                     feat = self._encode(p, lr, h_pad, w_pad, hv, wv)
                     z, kp = dec.apply(
@@ -263,14 +298,11 @@ class BucketedEval:
                       and hh == int(scale) * h and ww == int(scale) * w
                       and hh_pad == int(scale) * h_pad
                       and self.dec._fused_config_ok())
-        syn = _pad_to(_syn_np((h, w), (hh, ww)), (hh_pad, ww_pad, 3))
-        if use_kernel:
-            fn = self._program(("kernel",) + buckets)
-            return fn(params, lrp, hrp, *scalars, syn, *tail)
         rows = _pad_to(grids.nearest_exact_indices(h, hh), (hh_pad,))
         cols = _pad_to(grids.nearest_exact_indices(w, ww), (ww_pad,))
-        fn = self._program(("traced",) + buckets)
-        return fn(params, lrp, hrp, *scalars, rows, cols, syn, *tail)
+        kind = "kernel" if use_kernel else "traced"
+        fn = self._program((kind,) + buckets)
+        return fn(params, lrp, hrp, *scalars, rows, cols, *tail)
 
     # -- EvalJit-compatible surface --------------------------------------
     def test_fn(self, scale, lr_shape, hr_shape):
