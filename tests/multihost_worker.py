@@ -30,6 +30,7 @@ N_STEPS = 2
 def main():
     proc_id, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
+    extra = sys.argv[5:]              # extra config overrides from the test
     os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     os.environ["JAX_NUM_PROCESSES"] = str(nproc)
     os.environ["JAX_PROCESS_ID"] = str(proc_id)
@@ -48,7 +49,7 @@ def main():
     from tpu_diinn.train import loop
 
     losses = []
-    cfg = load_config(None, CFG + [
+    cfg = load_config(None, CFG + extra + [
         f"trainer.ckpt_dir={out}/ckpt{proc_id}",
         f"trainer.log_dir={out}/log{proc_id}",
     ])

@@ -33,7 +33,11 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_run_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mesh_over", [
+    [],                                       # pure data-parallel (DDP)
+    ["trainer.mesh_data=2", "trainer.mesh_space=2"],  # 2-D data x space
+], ids=["dp", "dp_x_sp"])
+def test_two_process_run_matches_single_process(tmp_path, mesh_over):
     port = _free_port()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
@@ -43,7 +47,7 @@ def test_two_process_run_matches_single_process(tmp_path):
         subprocess.Popen(
             [sys.executable, os.path.join(root, "tests",
                                           "multihost_worker.py"),
-             str(i), "2", str(port), str(tmp_path)],
+             str(i), "2", str(port), str(tmp_path)] + mesh_over,
             cwd=root, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
@@ -61,10 +65,9 @@ def test_two_process_run_matches_single_process(tmp_path):
     # single-process reference: same global batch on a 4-device 'data' mesh
     from tpu_diinn.config.config import load_config
     from tpu_diinn.train import loop
-    cfg = load_config(None, W.CFG + [
+    cfg = load_config(None, W.CFG + (mesh_over or ["trainer.mesh_data=4"]) + [
         f"trainer.ckpt_dir={tmp_path}/ckpt_ref",
         f"trainer.log_dir={tmp_path}/log_ref",
-        "trainer.mesh_data=4",
     ])
     state = loop.train(cfg, max_steps=W.N_STEPS, log_fn=lambda *a: None)
     from tpu_diinn.train.checkpoint import _flatten
